@@ -1,0 +1,206 @@
+"""Adaptive Runge-Kutta integration as a jittable state machine.
+
+The reference drives adaptivity with Python-level `while` loops over eager
+tensors (dopri5.py:85-92).  Here the same semantics — advance to each output
+time with accept/reject adaptive steps, then evaluate dense output — are
+expressed as `lax.scan` over output times around an inner step loop, so the
+whole solve is one XLA computation that jits, vmaps (per-chain independent
+step-size control) and shards.
+
+Two inner-loop modes:
+  - 'while'   (default): `lax.while_loop`; fastest, forward-mode
+                differentiable (JVP of while_loop is supported), used by the
+                continuous adjoint which never reverse-differentiates
+                through solver internals.
+  - 'bounded': a masked `lax.scan` over `max_steps_per_interval` iterations;
+                reverse-mode differentiable, used for discrete
+                backprop-through-the-solver (the reference's default autograd
+                path through solver internals).
+
+Parity targets: torchdiffeq/_impl/dopri5.py, tsit5.py, solvers.py:25-33.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.pytree import PyTree, tree_where
+from .interp import interp_evaluate, interp_fit
+from .runge_kutta import AdaptiveState, runge_kutta_step, weighted_stage_sum
+from .step_control import error_ratio, optimal_step_size, select_initial_step
+from .tableaus import ButcherTableau, tsit5_interp_coeffs
+
+
+@dataclasses.dataclass(frozen=True)
+class AdaptiveConfig:
+    rtol: float = 1e-7
+    atol: float = 1e-9
+    first_step: Optional[float] = None
+    safety: float = 0.9
+    ifactor: float = 10.0
+    dfactor: float = 0.2
+    max_num_steps: int = 2**20
+    mode: str = "while"  # 'while' | 'bounded'
+    max_steps_per_interval: int = 256  # only for 'bounded'
+
+
+# ---------------------------------------------------------------------------
+# Dense output representations.
+#
+# dopri5: quartic polynomial coefficients fit from (y0, y1, y_mid, f0, f1)
+#   with the DPS_C_MID midpoint weights (reference dopri5.py:39-45).
+# tsit5:  the interval's (y0, k stages); evaluated with the Tsitouras
+#   b_i(theta) polynomials (reference tsit5.py:30-48, with the y0-vs-f0 fix
+#   noted in tableaus.tsit5_interp_coeffs).
+# ---------------------------------------------------------------------------
+
+
+def _quartic_interp_init(y0, f0):
+    z = jax.tree.map(jnp.zeros_like, y0)
+    return [z, z, z, z, y0]
+
+
+def _quartic_interp_fit(tableau, y0, y1, k, dt):
+    y_mid = jax.tree.map(
+        lambda y, inc: y + inc, y0, weighted_stage_sum(dt, tableau.c_mid, k)
+    )
+    return interp_fit(y0, y1, y_mid, k[0], k[-1], dt)
+
+
+def _quartic_interp_eval(coeff, t0, t1, t):
+    return interp_evaluate(coeff, t0, t1, t)
+
+
+def _stages_interp_init(y0, f0):
+    z = jax.tree.map(jnp.zeros_like, y0)
+    return (y0, [z] * 7)
+
+
+def _stages_interp_fit(tableau, y0, y1, k, dt):
+    return (y0, list(k))
+
+
+def _stages_interp_eval(coeff, t0, t1, t):
+    y0, k = coeff
+    dt = t1 - t0
+    denom = jnp.where(t1 == t0, jnp.ones_like(t1), t1 - t0)
+    theta = jnp.where(t1 == t0, jnp.zeros_like(t), (t - t0) / denom)
+    bs = tsit5_interp_coeffs(theta)
+    return jax.tree.map(
+        lambda y, *ks: y + dt * sum(b * k_ for b, k_ in zip(bs, ks)), y0, *k
+    )
+
+
+_INTERP = {
+    "quartic": (_quartic_interp_init, _quartic_interp_fit, _quartic_interp_eval),
+    "stages": (_stages_interp_init, _stages_interp_fit, _stages_interp_eval),
+}
+
+
+def adaptive_step(func: Callable, state: AdaptiveState, tableau: ButcherTableau,
+                  interp_kind: str, cfg: AdaptiveConfig) -> AdaptiveState:
+    """One accept/reject adaptive RK step (reference dopri5.py:94-122).
+
+    The step starts from the end of the last accepted step (state.y1 at
+    state.t1) and either advances t1 by dt (accept) or shrinks dt (reject);
+    all branching is `where`-based so rejected steps cost the same as
+    accepted ones and vmapped chains stay in lockstep.
+    """
+    _, fit, _ = _INTERP[interp_kind]
+    y0, f0, t0, dt, coeff = state.y1, state.f1, state.t1, state.dt, state.interp_coeff
+
+    y1, f1, y1_error, k = runge_kutta_step(func, y0, f0, t0, dt, tableau)
+    ratio = error_ratio(y1_error, cfg.rtol, cfg.atol, y0, y1)
+    accept = ratio <= 1.0
+
+    y_next = tree_where(accept, y1, y0)
+    f_next = tree_where(accept, f1, f0)
+    t_next = jnp.where(accept, t0 + dt, t0)
+    coeff_next = tree_where(accept, fit(tableau, y0, y1, k, dt), coeff)
+    dt_next = optimal_step_size(
+        dt, ratio, cfg.safety, cfg.ifactor, cfg.dfactor, tableau.order
+    )
+    return AdaptiveState(
+        y1=y_next,
+        f1=f_next,
+        t0=t0,
+        t1=t_next,
+        dt=dt_next,
+        interp_coeff=coeff_next,
+        nfe=state.nfe + len(tableau.alpha),
+        n_accepted=state.n_accepted + accept.astype(state.n_accepted.dtype),
+        n_rejected=state.n_rejected + (~accept).astype(state.n_rejected.dtype),
+    )
+
+
+def integrate_adaptive(func: Callable, y0: PyTree, ts: jax.Array,
+                       tableau: ButcherTableau, interp_kind: str,
+                       cfg: AdaptiveConfig):
+    """Integrate y' = func(t, y) emitting the solution at each time in `ts`.
+
+    Returns (ys, stats) where ys stacks the solution along a new leading
+    axis (ys[0] == y0) and stats carries NFE / step counts.
+    """
+    init_interp, _, evaluate = _INTERP[interp_kind]
+
+    t0 = ts[0]
+    f0 = func(t0, y0)
+    if cfg.first_step is None:
+        dt0 = select_initial_step(func, t0, y0, 4, cfg.rtol, cfg.atol, f0)
+        nfe0 = jnp.asarray(2, jnp.int32)
+    else:
+        dt0 = jnp.asarray(cfg.first_step, t0.dtype)
+        nfe0 = jnp.asarray(1, jnp.int32)
+
+    state0 = AdaptiveState(
+        y1=y0,
+        f1=f0,
+        t0=t0,
+        t1=t0,
+        dt=dt0,
+        interp_coeff=init_interp(y0, f0),
+        nfe=nfe0,
+        n_accepted=jnp.asarray(0, jnp.int32),
+        n_rejected=jnp.asarray(0, jnp.int32),
+    )
+
+    def step_fn(s):
+        return adaptive_step(func, s, tableau, interp_kind, cfg)
+
+    def advance(state, next_t):
+        if cfg.mode == "while":
+            def cond(s):
+                in_flight = s.t1 < next_t
+                budget = (s.n_accepted + s.n_rejected) < cfg.max_num_steps
+                return in_flight & budget
+
+            state = jax.lax.while_loop(cond, step_fn, state)
+        elif cfg.mode == "bounded":
+            def body(s, _):
+                s = jax.lax.cond(s.t1 < next_t, step_fn, lambda s_: s_, s)
+                return s, None
+
+            state, _ = jax.lax.scan(
+                body, state, None, length=cfg.max_steps_per_interval
+            )
+        else:
+            raise ValueError(f"unknown adaptive mode: {cfg.mode!r}")
+        y = evaluate(state.interp_coeff, state.t0, state.t1, next_t)
+        return state, y
+
+    final_state, ys_tail = jax.lax.scan(advance, state0, ts[1:])
+    ys = jax.tree.map(
+        lambda first, rest: jnp.concatenate([first[None], rest], axis=0), y0, ys_tail
+    )
+    stats = {
+        "nfe": final_state.nfe,
+        "n_accepted": final_state.n_accepted,
+        "n_rejected": final_state.n_rejected,
+        # True iff every requested output time was actually reached within
+        # the step budget (replaces the reference's max_num_steps assert).
+        "reached_final_time": final_state.t1 >= ts[-1],
+    }
+    return ys, stats

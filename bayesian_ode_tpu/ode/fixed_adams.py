@@ -1,0 +1,217 @@
+"""Fixed-grid Adams-Bashforth(-Moulton), orders up to 12.
+
+TPU-first reformulation of torchdiffeq/_impl/fixed_adams.py: the reference
+keeps a Python `deque` of past derivatives and selects ragged integer
+coefficient rows by current order (fixed_adams.py:166-211).  Here the history
+is a fixed-shape ring buffer carried through `lax.scan` (newest first) and
+the coefficient tables are dense zero-padded float64 matrices indexed with a
+dynamic gather, so the variable-order startup is branch-free on device.
+
+Semantics preserved:
+  - RK4 (3/8-rule) bootstrap while fewer than 3 history entries exist
+    (fixed_adams.py:174-177, _MIN_ORDER=4).
+  - AB predictor + AM functional-iteration corrector with elementwise
+    rtol/atol convergence check and max 4 iterations (fixed_adams.py:179-207).
+  - On corrector non-convergence the oldest history entry is dropped
+    (fixed_adams.py:203-205); the warning print becomes a `corrector_fails`
+    counter in the returned stats.
+  - History stores f at the step start point only; corrector iterates are
+    not appended (the reference's `_update_history` no-ops on equal t,
+    fixed_adams.py:161-164).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.pytree import PyTree, tree_where
+from .fixed_grid import _build_grid, _linear_interp_onto
+from .runge_kutta import rk4_alt_step
+
+_MAX_ORDER = 12
+_MIN_ORDER = 4
+
+# Integer Adams coefficients for orders <= 12 (classical tables, as carried in
+# fixed_adams.py:7-156; rows above order 12 are never reachable with the
+# reference's max_order cap and are omitted).
+_BASHFORTH = [
+    [],
+    [11],
+    [3, -1],
+    [23, -16, 5],
+    [55, -59, 37, -9],
+    [1901, -2774, 2616, -1274, 251],
+    [4277, -7923, 9982, -7298, 2877, -475],
+    [198721, -447288, 705549, -688256, 407139, -134472, 19087],
+    [434241, -1152169, 2183877, -2664477, 2102243, -1041723, 295767, -36799],
+    [14097247, -43125206, 95476786, -139855262, 137968480, -91172642, 38833486,
+     -9664106, 1070017],
+    [30277247, -104995189, 265932680, -454661776, 538363838, -444772162,
+     252618224, -94307320, 20884811, -2082753],
+    [2132509567, -8271795124, 23591063805, -46113029016, 63716378958,
+     -63176201472, 44857168434, -22329634920, 7417904451, -1479574348,
+     134211265],
+]
+
+_MOULTON = [
+    [],
+    [1],
+    [1, 1],
+    [5, 8, -1],
+    [9, 19, -5, 1],
+    [251, 646, -264, 106, -19],
+    [475, 1427, -798, 482, -173, 27],
+    [19087, 65112, -46461, 37504, -20211, 6312, -863],
+    [36799, 139849, -121797, 123133, -88547, 41499, -11351, 1375],
+    [1070017, 4467094, -4604594, 5595358, -5033120, 3146338, -1291214, 312874,
+     -33953],
+    [2082753, 9449717, -11271304, 16002320, -17283646, 13510082, -7394032,
+     2687864, -583435, 57281],
+    [134211265, 656185652, -890175549, 1446205080, -1823311566, 1710774528,
+     -1170597042, 567450984, -184776195, 36284876, -3250433],
+    [262747265, 1374799219, -2092490673, 3828828885, -5519460582, 6043521486,
+     -4963166514, 3007739418, -1305971115, 384709327, -68928781, 5675265],
+]
+
+_DIVISOR = [
+    1, 11, 2, 12, 24, 720, 1440, 60480, 120960, 3628800, 7257600, 479001600,
+    958003200,
+]
+
+
+def _padded_tables(max_order: int):
+    """Dense (rows, width) float64 tables of coefficient/divisor ratios."""
+    width = max_order - 1
+    bash = np.zeros((max_order, width))
+    for o in range(1, max_order):
+        bash[o, :o] = np.asarray(_BASHFORTH[o], dtype=np.float64) / _DIVISOR[o]
+    # Moulton row k split into leading weight (for the new implicit f) and
+    # trailing weights over the explicit history.
+    m0 = np.zeros((max_order + 1,))
+    mrest = np.zeros((max_order + 1, width))
+    for k in range(1, max_order + 1):
+        row = np.asarray(_MOULTON[k], dtype=np.float64) / _DIVISOR[k]
+        m0[k] = row[0]
+        mrest[k, : k - 1] = row[1:]
+    return jnp.asarray(bash), jnp.asarray(m0), jnp.asarray(mrest)
+
+
+def _weighted_history(weights, fbuf: PyTree) -> PyTree:
+    """sum_i weights[i] * fbuf[i] over the ring-buffer axis of every leaf."""
+    return jax.tree.map(
+        lambda f: jnp.tensordot(weights.astype(f.dtype), f, axes=(0, 0)), fbuf
+    )
+
+
+def _has_converged(old: PyTree, new: PyTree, rtol, atol):
+    """Elementwise |old - new| < atol + rtol*max(|old|, |new|), all leaves
+    (reference misc.py:30-35)."""
+    oks = jax.tree.leaves(
+        jax.tree.map(
+            lambda a, b: jnp.all(
+                jnp.abs(a - b) < atol + rtol * jnp.maximum(jnp.abs(a), jnp.abs(b))
+            ),
+            old,
+            new,
+        )
+    )
+    out = oks[0]
+    for o in oks[1:]:
+        out = out & o
+    return out
+
+
+def integrate_abm(func: Callable, y0: PyTree, ts: jax.Array, rtol: float = 1e-3,
+                  atol: float = 1e-4, implicit: bool = True, max_iters: int = 4,
+                  max_order: int = _MAX_ORDER, step_size: Optional[float] = None):
+    max_order = int(min(max_order, _MAX_ORDER))
+    bash, m0, mrest = _padded_tables(max_order)
+    width = max_order - 1
+
+    grid = ts if step_size is None else _build_grid(ts, step_size)
+
+    def shift_in(fbuf: PyTree, fval: PyTree) -> PyTree:
+        return jax.tree.map(
+            lambda buf, f: jnp.concatenate([f[None], buf[:-1]], axis=0), fbuf, fval
+        )
+
+    def step(carry, t01):
+        y, fbuf, count, fails = carry
+        t0, t1 = t01
+        dt = t1 - t0
+
+        fval = func(t0, y)
+        fbuf = shift_in(fbuf, fval)
+        order = jnp.minimum(count + 1, width)
+
+        def rk4_branch(operand):
+            y, fbuf, order = operand
+            dy = rk4_alt_step(func, t0, dt, y, k1=fval)
+            return dy, order, jnp.asarray(False), jnp.asarray(4, jnp.int32)
+
+        def abm_branch(operand):
+            y, fbuf, order = operand
+            w_ab = jnp.take(bash, order, axis=0)
+            dy = jax.tree.map(lambda inc: dt * inc, _weighted_history(w_ab, fbuf))
+            if not implicit:
+                return dy, order, jnp.asarray(False), jnp.asarray(1, jnp.int32)
+
+            w_am = jnp.take(mrest, order + 1, axis=0)
+            delta = jax.tree.map(
+                lambda inc: dt * inc, _weighted_history(w_am, fbuf)
+            )
+            lead = jnp.take(m0, order + 1)
+
+            def cond(state):
+                dy, it, converged, evals = state
+                return (it < max_iters) & ~converged
+
+            def body(state):
+                dy, it, converged, evals = state
+                f = func(t1, jax.tree.map(lambda a, b: a + b, y, dy))
+                dy_new = jax.tree.map(
+                    lambda f_, d_: dt * lead * f_ + d_, f, delta
+                )
+                return (
+                    dy_new,
+                    it + 1,
+                    _has_converged(dy, dy_new, rtol, atol),
+                    evals + 1,
+                )
+
+            dy, _, converged, evals = jax.lax.while_loop(
+                cond, body, (dy, jnp.asarray(0, jnp.int32), jnp.asarray(False),
+                             jnp.asarray(1, jnp.int32))
+            )
+            # Non-convergence drops the oldest history entry (order decays).
+            order = jnp.where(converged, order, order - 1)
+            return dy, order, ~converged, evals
+
+        dy, order, failed, evals = jax.lax.cond(
+            order < _MIN_ORDER - 1, rk4_branch, abm_branch, (y, fbuf, order)
+        )
+        y1 = jax.tree.map(lambda a, b: a + b, y, dy)
+        return (y1, fbuf, order, fails + failed.astype(jnp.int32)), (y1, evals)
+
+    fbuf0 = jax.tree.map(
+        lambda y: jnp.zeros((width,) + y.shape, y.dtype), y0
+    )
+    carry0 = (y0, fbuf0, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+    (_, _, _, fails), (ys_tail, evals) = jax.lax.scan(
+        step, carry0, (grid[:-1], grid[1:])
+    )
+    ys_grid = jax.tree.map(
+        lambda first, rest: jnp.concatenate([first[None], rest], axis=0), y0, ys_tail
+    )
+    ys = ys_grid if step_size is None else _linear_interp_onto(ts, grid, ys_grid)
+    stats = {
+        "nfe": jnp.sum(evals).astype(jnp.int32),
+        "n_accepted": jnp.asarray(grid.shape[0] - 1, jnp.int32),
+        "n_rejected": jnp.asarray(0, jnp.int32),
+        "reached_final_time": jnp.asarray(True),
+        "corrector_fails": fails,
+    }
+    return ys, stats

@@ -1,0 +1,104 @@
+"""Fixed-grid solvers (euler / midpoint / rk4) as `lax.scan` over the grid.
+
+The reference steps these with a Python loop and interleaves linear
+interpolation onto requested output times (solvers.py:79-108).  Here the
+whole trajectory is one `scan` (fully unrolled into XLA, reverse-mode
+differentiable for free), and when a custom `step_size` grid is used the
+output times are gathered from the grid solution with a vectorized linear
+interpolation.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.pytree import PyTree
+from .runge_kutta import rk4_alt_step
+
+
+def euler_step(func, t, dt, y):
+    return jax.tree.map(lambda f_: dt * f_, func(t, y)), 1
+
+
+def midpoint_step(func, t, dt, y):
+    y_mid = jax.tree.map(lambda y_, f_: y_ + f_ * dt / 2, y, func(t, y))
+    return jax.tree.map(lambda f_: dt * f_, func(t + dt / 2, y_mid)), 2
+
+
+def rk4_step_fn(func, t, dt, y):
+    # The reference's RK4 uses the 3/8-rule variant (fixed_grid.py:26-33).
+    return rk4_alt_step(func, t, dt, y), 4
+
+
+STEP_FUNCS = {
+    "euler": euler_step,
+    "midpoint": midpoint_step,
+    "rk4": rk4_step_fn,
+}
+
+
+def _build_grid(ts, step_size):
+    """Uniform grid from t[0] with the given step, clamped to end at t[-1].
+
+    Mirrors solvers.py:60-71.  Requires concrete (non-traced) endpoint times
+    because the grid length is a static shape.
+    """
+    t_start = float(ts[0])
+    t_end = float(ts[-1])
+    niters = int(np.ceil((t_end - t_start) / step_size + 1))
+    grid = np.arange(niters) * step_size + t_start
+    if grid[-1] > t_end:
+        grid[-1] = t_end
+    return jnp.asarray(grid, dtype=jnp.result_type(ts))
+
+
+def _linear_interp_onto(ts, grid, ys_grid: PyTree) -> PyTree:
+    """Linearly interpolate the grid solution onto requested output times."""
+    idx = jnp.clip(jnp.searchsorted(grid, ts, side="right") - 1, 0, grid.shape[0] - 2)
+    t0 = grid[idx]
+    t1 = grid[idx + 1]
+    w = ((ts - t0) / (t1 - t0)).astype(ts.dtype)
+
+    def interp_leaf(y):
+        y0 = y[idx]
+        y1 = y[idx + 1]
+        wc = w.reshape(w.shape + (1,) * (y0.ndim - 1)).astype(y0.dtype)
+        return y0 + wc * (y1 - y0)
+
+    return jax.tree.map(interp_leaf, ys_grid)
+
+
+def integrate_fixed_grid(func: Callable, y0: PyTree, ts: jax.Array, method: str,
+                         step_size: Optional[float] = None):
+    """Integrate on a fixed grid, returning (ys at `ts`, stats)."""
+    step = STEP_FUNCS[method]
+
+    grid = ts if step_size is None else _build_grid(ts, step_size)
+
+    def body(y, t01):
+        t0, t1 = t01
+        dy, evals = step(func, t0, t1 - t0, y)
+        y1 = jax.tree.map(lambda a, b: a + b, y, dy)
+        return y1, (y1, evals)
+
+    t_pairs = (grid[:-1], grid[1:])
+    _, (ys_tail, evals) = jax.lax.scan(body, y0, t_pairs)
+    ys_grid = jax.tree.map(
+        lambda first, rest: jnp.concatenate([first[None], rest], axis=0), y0, ys_tail
+    )
+
+    if step_size is None:
+        ys = ys_grid
+    else:
+        ys = _linear_interp_onto(ts, grid, ys_grid)
+
+    stats = {
+        "nfe": jnp.sum(evals).astype(jnp.int32),
+        "n_accepted": jnp.asarray(grid.shape[0] - 1, jnp.int32),
+        "n_rejected": jnp.asarray(0, jnp.int32),
+        "reached_final_time": jnp.asarray(True),
+    }
+    return ys, stats

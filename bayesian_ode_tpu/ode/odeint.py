@@ -1,0 +1,163 @@
+"""Public `odeint` API: validate inputs, dispatch on method, solve.
+
+API shape follows the reference (torchdiffeq/_impl/odeint.py:20-76):
+
+    ys = odeint(func, y0, t, rtol=1e-7, atol=1e-9, method='dopri5', options={})
+
+with `func(t, y) -> dy/dt` over an arbitrary pytree state `y` (the
+reference's tuple-of-tensors support, misc.py:173-183, generalizes to
+pytrees natively here), `t` a 1-D array of strictly monotonic output times
+(decreasing time handled by the t -> -t reversal trick, misc.py:185-188),
+and the result stacked along a new leading time axis.
+
+`odeint_with_stats` additionally returns {'nfe', 'n_accepted', 'n_rejected',
+'reached_final_time'} — the NFE accounting the reference implements with RHS
+wrapper classes (DETEST/run.py:11-19) lives in the solver carry here.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.pytree import PyTree
+from . import fixed_adams as _fixed_adams
+from . import vcabm as _vcabm
+from .adaptive import AdaptiveConfig, integrate_adaptive
+from .fixed_grid import integrate_fixed_grid
+from .tableaus import DOPRI5, TSIT5
+
+_ADAPTIVE_OPTION_KEYS = (
+    "first_step", "safety", "ifactor", "dfactor", "max_num_steps", "mode",
+    "max_steps_per_interval",
+)
+
+
+def _solve_adaptive(tableau, interp_kind):
+    def solve(func, y0, ts, rtol, atol, options):
+        cfg = AdaptiveConfig(
+            rtol=rtol,
+            atol=atol,
+            **{k: options[k] for k in _ADAPTIVE_OPTION_KEYS if k in options},
+        )
+        return integrate_adaptive(func, y0, ts, tableau, interp_kind, cfg)
+
+    return solve
+
+
+def _solve_fixed(method):
+    def solve(func, y0, ts, rtol, atol, options):
+        return integrate_fixed_grid(func, y0, ts, method, options.get("step_size"))
+
+    return solve
+
+
+def _solve_fixed_adams(implicit):
+    def solve(func, y0, ts, rtol, atol, options):
+        return _fixed_adams.integrate_abm(
+            func, y0, ts,
+            rtol=options.get("rtol", rtol),
+            atol=options.get("atol", atol),
+            implicit=implicit,
+            max_iters=options.get("max_iters", 4),
+            max_order=options.get("max_order", 12),
+            step_size=options.get("step_size"),
+        )
+
+    return solve
+
+
+def _solve_vcabm(func, y0, ts, rtol, atol, options):
+    return _vcabm.integrate_vcabm(
+        func, y0, ts, rtol=rtol, atol=atol,
+        max_order=options.get("max_order", 12),
+        safety=options.get("safety", 0.9),
+        ifactor=options.get("ifactor", 10.0),
+        dfactor=options.get("dfactor", 0.2),
+        max_num_steps=options.get("max_num_steps", 2**20),
+        mode=options.get("mode", "while"),
+        max_steps_per_interval=options.get("max_steps_per_interval", 256),
+    )
+
+
+# Same method-name registry as reference odeint.py:8-17.
+SOLVERS: Dict[str, Callable] = {
+    "dopri5": _solve_adaptive(DOPRI5, "quartic"),
+    "tsit5": _solve_adaptive(TSIT5, "stages"),
+    "euler": _solve_fixed("euler"),
+    "midpoint": _solve_fixed("midpoint"),
+    "rk4": _solve_fixed("rk4"),
+    "explicit_adams": _solve_fixed_adams(implicit=False),
+    "fixed_adams": _solve_fixed_adams(implicit=True),
+    "adams": _solve_vcabm,
+}
+
+
+def _check_and_canonicalize(func, y0, t):
+    t = jnp.asarray(t)
+    if t.ndim != 1:
+        raise ValueError(f"t must be 1-D, got shape {t.shape}")
+    # Keep time in the highest precision available (f64 under the x64 CPU
+    # accuracy gates, f32 on TPU) regardless of the state dtype — mirrors the
+    # reference pinning solver time to float64 (solvers.py:28).
+    t_dtype = jax.dtypes.canonicalize_dtype(jnp.float64)
+    t = t.astype(t_dtype)
+
+    # Decreasing-time trick: integrate s = -t forward with negated RHS.
+    reverse = False
+    if t.shape[0] >= 2:
+        try:
+            reverse = bool(t[1] < t[0])
+        except jax.errors.TracerBoolConversionError:
+            # t is traced (inside jit): the time direction cannot be
+            # inspected, so increasing t is assumed; pass decreasing times
+            # as concrete arrays (or negate t and the RHS yourself).
+            reverse = False
+    if reverse:
+        base_func = func
+        func = lambda s, y: jax.tree.map(jnp.negative, base_func(-s, y))
+        t = -t
+    return func, t
+
+
+def odeint_with_stats(func: Callable, y0: PyTree, t, rtol: float = 1e-7,
+                      atol: float = 1e-9, method: Optional[str] = None,
+                      options: Optional[Dict[str, Any]] = None):
+    """Like `odeint` but also returns solver statistics."""
+    if options is not None and method is None:
+        raise ValueError("cannot supply `options` without specifying `method`")
+    options = dict(options or {})
+    method = method or "dopri5"
+    if method not in SOLVERS:
+        raise ValueError(
+            f"unknown method {method!r}; available: {sorted(SOLVERS)}"
+        )
+
+    func, t = _check_and_canonicalize(func, y0, t)
+
+    if t.shape[0] < 2:
+        # "No integration" edge case: t == t[0:1] returns y0 with a leading
+        # time axis (reference TestNoIntegration, odeint_tests.py:142-151).
+        ys = jax.tree.map(lambda y: y[None], y0)
+        stats = {
+            "nfe": jnp.asarray(0, jnp.int32),
+            "n_accepted": jnp.asarray(0, jnp.int32),
+            "n_rejected": jnp.asarray(0, jnp.int32),
+            "reached_final_time": jnp.asarray(True),
+        }
+        return ys, stats
+
+    return SOLVERS[method](func, y0, t, rtol, atol, options)
+
+
+def odeint(func: Callable, y0: PyTree, t, rtol: float = 1e-7,
+           atol: float = 1e-9, method: Optional[str] = None,
+           options: Optional[Dict[str, Any]] = None) -> PyTree:
+    """Integrate dy/dt = func(t, y) from y(t[0]) = y0 at the times in `t`.
+
+    Defaults (rtol=1e-7, atol=1e-9, method='dopri5') match reference
+    odeint.py:20.
+    """
+    ys, _ = odeint_with_stats(func, y0, t, rtol, atol, method, options)
+    return ys

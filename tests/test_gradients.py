@@ -1,0 +1,177 @@
+"""Gradient correctness gates.
+
+Mirrors neuralode_tests/gradient_tests.py: finite-difference gradient checks
+of `odeint` w.r.t. (y0, t) per solver (the reference's
+`torch.autograd.gradcheck` becomes `jax.test_util.check_grads`), adjoint vs
+direct-backprop consistency on ConstantODE and on the spiral y^3 A system
+(incl. exactly-zero gradients for unused parameters), and forward
+sensitivities.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.test_util import check_grads
+
+import problems
+from bayesian_ode_tpu import odeint, odeint_adjoint, odeint_forward_sensitivity
+
+# Direct reverse-mode differentiation of the adaptive solvers uses the
+# bounded (masked-scan) inner loop.
+BOUNDED = {"mode": "bounded", "max_steps_per_interval": 64}
+
+
+def _gradcheck_opts(method):
+    return BOUNDED if method in ("dopri5", "tsit5", "adams") else None
+
+
+@pytest.mark.parametrize("method", ["midpoint", "rk4", "dopri5", "adams"])
+def test_gradcheck_y0_t(method):
+    # reference gradient_tests.py:19-43 (midpoint/rk4/dopri5/adams, w.r.t.
+    # y0 and t).
+    p = problems.construct_problem(ode="constant", npts=5)
+
+    def solve(y0, t):
+        return odeint(p.func, y0, t, method=method,
+                      options=_gradcheck_opts(method))
+
+    check_grads(solve, (p.y0, p.t), order=1, modes=["rev"], atol=1e-4,
+                rtol=1e-4)
+
+
+@pytest.mark.parametrize("method", ["dopri5", "rk4"])
+def test_adjoint_vs_direct_constant_ode(method):
+    # reference gradient_tests.py:45-76: on ConstantODE the adjoint and
+    # direct gradients w.r.t. t and params agree to ~1e-12 in f64.
+    t = jnp.linspace(1.0, 8.0, 10)
+    params = {"a": jnp.asarray(0.2), "b": jnp.asarray(3.0)}
+    y0 = params["a"] * t[0] + params["b"]
+
+    def func_with(p):
+        return lambda tt, y: p["a"] + (y - (p["a"] * tt + p["b"])) ** 5
+
+    def loss_direct(p, t_):
+        ys = odeint(func_with(p), y0, t_, method=method, options=BOUNDED)
+        return jnp.sum(ys)
+
+    def loss_adjoint(p, t_):
+        ys = odeint_adjoint(func_with(p), y0, t_, rtol=1e-7, atol=1e-9,
+                            method=method)
+        return jnp.sum(ys)
+
+    gd_p, gd_t = jax.grad(loss_direct, argnums=(0, 1))(params, t)
+    ga_p, ga_t = jax.grad(loss_adjoint, argnums=(0, 1))(params, t)
+
+    assert abs(gd_p["a"] - ga_p["a"]) < 1e-8
+    assert abs(gd_p["b"] - ga_p["b"]) < 1e-8
+    assert jnp.max(jnp.abs(gd_t - ga_t)) < 1e-8
+
+
+def test_adjoint_vs_direct_spiral():
+    # reference TestCompareAdjointGradient (gradient_tests.py:79-116):
+    # dy/dt = A y^3; gradient thresholds y0 3e-4, t 1e-4, params 2e-3.
+    A = jnp.asarray([[-0.1, 2.0], [-2.0, -0.1]])
+    y0 = jnp.asarray([2.0, 0.0])
+    t = jnp.linspace(0.0, 1.0, 10)
+    key = jax.random.PRNGKey(0)
+    gys = jax.random.normal(key, (10, 2))
+
+    def loss(fnmaker, A_, y0_, t_):
+        ys = fnmaker(A_, y0_, t_)
+        return jnp.sum(ys * gys)
+
+    def direct(A_, y0_, t_):
+        return odeint(lambda tt, y: (y**3) @ A_.T, y0_, t_, rtol=1e-8,
+                      atol=1e-10, method="dopri5", options=BOUNDED)
+
+    def adjoint(A_, y0_, t_):
+        return odeint_adjoint(lambda tt, y: (y**3) @ A_.T, y0_, t_, rtol=1e-8,
+                              atol=1e-10, method="dopri5")
+
+    gd = jax.grad(lambda *a: loss(direct, *a), argnums=(0, 1, 2))(A, y0, t)
+    ga = jax.grad(lambda *a: loss(adjoint, *a), argnums=(0, 1, 2))(A, y0, t)
+
+    assert jnp.max(jnp.abs(gd[1] - ga[1])) < 3e-4  # y0
+    assert jnp.max(jnp.abs(gd[2] - ga[2])) < 1e-4  # t
+    assert jnp.max(jnp.abs(gd[0] - ga[0])) < 2e-3  # params
+
+
+def test_unused_params_get_zero_grad():
+    # reference gradient_tests.py:106-112: parameters not touched by the
+    # vector field receive exactly zero gradient through the adjoint.
+    A = jnp.asarray([[-0.1, 2.0], [-2.0, -0.1]])
+    unused = jnp.ones((3, 3))
+    y0 = jnp.asarray([2.0, 0.0])
+    t = jnp.linspace(0.0, 1.0, 5)
+
+    def loss(params):
+        A_, unused_ = params
+
+        def f(tt, y):
+            return (y**3) @ A_.T
+
+        ys = odeint_adjoint(f, y0, t, method="dopri5")
+        return jnp.sum(ys**2)
+
+    gA, gU = jax.grad(loss)((A, unused))
+    assert jnp.all(gU == 0.0)
+    assert jnp.any(gA != 0.0)
+
+
+def test_adjoint_adams_vs_direct_dopri5():
+    # reference gradient_tests.py:118-136 at looser tolerances.
+    A = jnp.asarray([[-0.1, 2.0], [-2.0, -0.1]])
+    y0 = jnp.asarray([2.0, 0.0])
+    t = jnp.linspace(0.0, 1.0, 10)
+
+    def loss(maker, A_):
+        ys = maker(A_)
+        return jnp.sum(ys)
+
+    adams = lambda A_: odeint_adjoint(
+        lambda tt, y: (y**3) @ A_.T, y0, t, rtol=1e-9, atol=1e-12, method="adams"
+    )
+    dopri = lambda A_: odeint(
+        lambda tt, y: (y**3) @ A_.T, y0, t, rtol=1e-9, atol=1e-11,
+        method="dopri5", options=BOUNDED,
+    )
+    ga = jax.grad(lambda A_: loss(adams, A_))(A)
+    gd = jax.grad(lambda A_: loss(dopri, A_))(A)
+    # Gradients here are O(40); the reference gates adams-adjoint at 2e-2
+    # absolute on O(1) gradients (gradient_tests.py:134-136) — same relative
+    # strictness.  VCABM's predictor-return quirk bounds the attainable
+    # accuracy.
+    assert jnp.max(jnp.abs(ga - gd)) < 5e-2
+
+
+def test_forward_sensitivity_matches_reverse():
+    # Forward-mode through the while-loop solver (the reference's
+    # forward-sensitivity ODE, gp.ipynb cell 8) vs reverse through adjoint.
+    A = jnp.asarray([[-0.3, 1.0], [-1.0, -0.3]])
+    y0 = jnp.asarray([1.0, 0.0])
+    t = jnp.linspace(0.0, 2.0, 5)
+
+    func = lambda tt, y, p: p @ y
+    ys, sens = odeint_forward_sensitivity(func, y0, t, A, rtol=1e-9,
+                                          atol=1e-12, method="dopri5")
+    assert ys.shape == (5, 2)
+    assert sens.shape == (5, 2, 2, 2)
+
+    def loss_adj(A_):
+        ys_ = odeint_adjoint(lambda tt, y: A_ @ y, y0, t, rtol=1e-9,
+                             atol=1e-12, method="dopri5")
+        return jnp.sum(ys_)
+
+    g_rev = jax.grad(loss_adj)(A)
+    g_fwd = jnp.sum(sens, axis=(0, 1))
+    assert jnp.max(jnp.abs(g_rev - g_fwd)) < 1e-6
+
+
+def test_jacfwd_through_while_loop_solver():
+    # JVPs flow through the default while-mode adaptive solver.
+    p = problems.construct_problem(ode="constant", npts=5)
+    jac = jax.jacfwd(lambda y0: odeint(p.func, y0, p.t, method="dopri5"))(p.y0)
+    # dy(t)/dy0 of the attracting exact solution decays toward ~0; at t[0]
+    # it is exactly 1.
+    assert np.isfinite(np.asarray(jac)).all()
+    assert abs(jac[0] - 1.0) < 1e-12

@@ -1,0 +1,132 @@
+"""Solver accuracy gates vs closed-form solutions.
+
+Mirrors neuralode_tests/odeint_tests.py: rel error < 1e-4 for every solver,
+forward and reverse time, plus the no-integration edge case, all in f64.
+"""
+import jax
+import jax.numpy as jnp
+import pytest
+
+import problems
+from bayesian_ode_tpu import odeint, odeint_with_stats
+
+ERROR_TOL = 1e-4
+
+ALL_METHODS = [
+    "euler", "midpoint", "rk4", "explicit_adams", "fixed_adams", "adams",
+    "dopri5", "tsit5",
+]
+
+
+def rel_error(true, estimate):
+    return jnp.max(jnp.abs((true - estimate) / true))
+
+
+@pytest.mark.parametrize("method", ALL_METHODS)
+def test_solver_error_constant(method):
+    p = problems.construct_problem(ode="constant")
+    y = odeint(p.func, p.y0, p.t, method=method)
+    assert rel_error(p.sol, y) < ERROR_TOL
+
+
+@pytest.mark.parametrize("ode", ["constant", "linear", "sine"])
+@pytest.mark.parametrize("method", ["dopri5", "tsit5", "adams"])
+def test_adaptive_solvers_all_problems(method, ode):
+    p = problems.construct_problem(ode=ode)
+    y = odeint(p.func, p.y0, p.t, method=method)
+    if ode == "linear":
+        # The oscillatory linear trajectory crosses zero, so normalize the
+        # max abs error by the solution scale instead of pointwise division
+        # (the reference's pointwise rel_error passes only by luck of its
+        # random matrix draw).
+        err = jnp.max(jnp.abs(p.sol - y)) / jnp.max(jnp.abs(p.sol))
+    else:
+        err = rel_error(p.sol, y)
+    assert err < ERROR_TOL
+
+
+@pytest.mark.parametrize("method", ALL_METHODS)
+def test_solver_backwards_in_time(method):
+    p = problems.construct_problem(ode="constant", reverse=True)
+    y = odeint(p.func, p.y0, p.t, method=method)
+    assert rel_error(p.sol, y) < ERROR_TOL
+
+
+@pytest.mark.parametrize("ode", ["constant", "linear", "sine"])
+def test_dopri5_backwards_all_problems(ode):
+    p = problems.construct_problem(ode=ode, reverse=True)
+    y = odeint(p.func, p.y0, p.t, method="dopri5")
+    assert rel_error(p.sol, y) < ERROR_TOL
+
+
+@pytest.mark.parametrize("method", ["dopri5", "rk4", "adams"])
+def test_no_integration(method):
+    p = problems.construct_problem(ode="constant")
+    y = odeint(p.func, p.y0, p.t[0:1], method=method)
+    assert y.shape[0] == 1
+    assert jnp.allclose(y[0], p.y0)
+
+
+def test_odeint_under_jit():
+    p = problems.construct_problem(ode="linear")
+
+    @jax.jit
+    def solve(y0, t):
+        return odeint(p.func, y0, t, method="dopri5")
+
+    y = solve(p.y0, p.t)
+    assert rel_error(p.sol, y) < ERROR_TOL
+
+
+def test_odeint_vmap_batched_y0():
+    # Batched initial conditions with per-lane adaptive step control.
+    p = problems.construct_problem(ode="linear")
+    y0_batch = jnp.stack([p.y0, p.y0 * 1.5, p.y0 * 0.5])
+    ys = jax.vmap(lambda y0: odeint(p.func, y0, p.t, method="dopri5"))(y0_batch)
+    assert ys.shape == (3,) + p.sol.shape
+    assert rel_error(p.sol, ys[0]) < ERROR_TOL
+
+
+def test_stats_nfe_accounting():
+    p = problems.construct_problem(ode="linear")
+    _, stats = odeint_with_stats(p.func, p.y0, p.t, method="dopri5")
+    # 6 evals per adaptive step plus 2 for initial-step selection.
+    expected = 2 + 6 * (int(stats["n_accepted"]) + int(stats["n_rejected"]))
+    assert int(stats["nfe"]) == expected
+    assert bool(stats["reached_final_time"])
+    _, stats_rk4 = odeint_with_stats(p.func, p.y0, p.t, method="rk4")
+    assert int(stats_rk4["nfe"]) == 4 * (p.t.shape[0] - 1)
+
+
+def test_tolerance_scaling_dopri5():
+    # Tighter tolerances must reduce error and increase NFE.
+    p = problems.construct_problem(ode="linear")
+    y_loose, s_loose = odeint_with_stats(
+        p.func, p.y0, p.t, rtol=1e-3, atol=1e-5, method="dopri5"
+    )
+    y_tight, s_tight = odeint_with_stats(
+        p.func, p.y0, p.t, rtol=1e-9, atol=1e-11, method="dopri5"
+    )
+    assert rel_error(p.sol, y_tight) < rel_error(p.sol, y_loose)
+    assert int(s_tight["nfe"]) > int(s_loose["nfe"])
+    assert rel_error(p.sol, y_tight) < 1e-8
+
+
+def test_first_step_option_honored():
+    # Unlike the reference (which substitutes 0.01 whenever first_step is
+    # given, dopri5.py:81-82), the provided value is used.
+    p = problems.construct_problem(ode="constant")
+    y = odeint(
+        p.func, p.y0, p.t, method="dopri5", options={"first_step": 0.05}
+    )
+    assert rel_error(p.sol, y) < ERROR_TOL
+
+
+def test_bounded_mode_matches_while_mode():
+    p = problems.construct_problem(ode="linear")
+    y_while = odeint(p.func, p.y0, p.t, method="dopri5")
+    y_bounded = odeint(
+        p.func, p.y0, p.t, method="dopri5",
+        options={"mode": "bounded", "max_steps_per_interval": 64},
+    )
+    assert jnp.max(jnp.abs(y_while - y_bounded)) < 1e-12
