@@ -1,0 +1,53 @@
+"""Stochastic-gradient MCMC samplers as pure transition kernels.
+
+Reference suite: samplers/ of jaivardhankapoor/bayesian-ode (see SURVEY.md
+§2.2).  Every sampler is a `TransitionKernel(init, step)` over pytree
+positions built from `potential_fn(theta) -> -log posterior`; chains run
+via `sample_chain`/`sample_chains` and shard over device meshes.
+"""
+from .base import (  # noqa: F401
+    TransitionKernel,
+    init_chains,
+    sample_chain,
+    sample_chains,
+)
+from .diagnostics import acceptance_rate, ess, ess_per_param, split_rhat  # noqa: F401
+from .hamcmc import hamcmc  # noqa: F401
+from .hamiltonian import acsghmc, asghmc  # noqa: F401
+from .langevin import asgld, csgld, mala, mmala, psgld, sgld  # noqa: F401
+from .metrics import (  # noqa: F401
+    flat_hessian,
+    hessian_metric,
+    identity_metric,
+    softabs_metric,
+)
+from .stein import rbf_kernel, svgd, svgd_direction  # noqa: F401
+from . import schedules  # noqa: F401
+
+__all__ = [
+    "TransitionKernel",
+    "acceptance_rate",
+    "acsghmc",
+    "asghmc",
+    "asgld",
+    "csgld",
+    "ess",
+    "ess_per_param",
+    "flat_hessian",
+    "hamcmc",
+    "hessian_metric",
+    "identity_metric",
+    "init_chains",
+    "mala",
+    "mmala",
+    "psgld",
+    "rbf_kernel",
+    "sample_chain",
+    "sample_chains",
+    "schedules",
+    "sgld",
+    "softabs_metric",
+    "split_rhat",
+    "svgd",
+    "svgd_direction",
+]

@@ -1,0 +1,118 @@
+"""Sampler kernel protocol and chain runners.
+
+TPU-first redesign of the reference's sampler architecture: where the
+reference subclasses `torch.optim.Optimizer` and mutates `param_groups` in
+place one chain per process (samplers/sampler.py:9-21, §2.9 of SURVEY.md),
+here every sampler is a pure transition kernel
+
+    kernel.init(position)                  -> state
+    kernel.step(key, state)                -> (state, info)
+
+over pytree positions, built from a `potential_fn(theta) -> U` where
+U = -log posterior (the reference's closure loss).  Chains run under
+`lax.scan` and batch under `vmap`, so thousands of chains execute per chip
+and the chain axis shards over a device mesh (see parallel/chains.py).
+
+Info dicts carry per-step observability (potential, acceptance, step size) —
+replacing the reference's print statements and `arr_closure` callbacks
+(langevin.py:124-127, gp.py:355-357).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.pytree import PyTree
+
+
+class TransitionKernel(NamedTuple):
+    init: Callable[[PyTree], Any]
+    step: Callable[[jax.Array, Any], tuple]
+
+
+def sample_chain(kernel: TransitionKernel, state, key, num_samples: int,
+                 burn_in: int = 0, thin: int = 1):
+    """Run burn-in then collect `num_samples` states, keeping every
+    `thin`-th step's position (thinning semantics of gp.py:381).
+
+    Returns (final_state, positions, infos) where positions stacks
+    state.position over samples and infos stacks the info pytree.
+    """
+
+    def one_step(state, key):
+        state, info = kernel.step(key, state)
+        return state, info
+
+    if burn_in > 0:
+        def burn_body(state, key):
+            state, _ = kernel.step(key, state)
+            return state, None
+
+        key, sub = jax.random.split(key)
+        state, _ = jax.lax.scan(burn_body, state, jax.random.split(sub, burn_in))
+
+    def sample_body(state, key):
+        if thin == 1:
+            state, info = one_step(state, key)
+        else:
+            state, infos = jax.lax.scan(one_step, state, jax.random.split(key, thin))
+            info = jax.tree.map(lambda x: x[-1], infos)
+        return state, (state.position, info)
+
+    state, (positions, infos) = jax.lax.scan(
+        sample_body, state, jax.random.split(key, num_samples)
+    )
+    return state, positions, infos
+
+
+def sample_chains(kernel: TransitionKernel, states, keys, num_samples: int,
+                  burn_in: int = 0, thin: int = 1):
+    """vmap of `sample_chain` over a leading chain axis of states/keys.
+
+    This replaces the reference's `multiprocessing.Pool.starmap` chain
+    fan-out (gp.py:563-564) with in-chip data parallelism; shard the chain
+    axis over a mesh for multi-chip scaling.
+    """
+    return jax.vmap(
+        lambda s, k: sample_chain(kernel, s, k, num_samples, burn_in, thin)
+    )(states, keys)
+
+
+def init_chains(kernel: TransitionKernel, key, init_position: PyTree,
+                num_chains: int, jitter: float = 0.0):
+    """Batched kernel states from a template position, optionally jittered
+    with N(0, jitter^2) per chain for overdispersed starts."""
+    keys = jax.random.split(key, num_chains)
+
+    def one(k):
+        if jitter > 0.0:
+            leaves, treedef = jax.tree.flatten(init_position)
+            subkeys = jax.random.split(k, len(leaves))
+            pos = jax.tree.unflatten(
+                treedef,
+                [
+                    x + jitter * jax.random.normal(sk, x.shape, x.dtype)
+                    for sk, x in zip(subkeys, leaves)
+                ],
+            )
+        else:
+            pos = init_position
+        return kernel.init(pos)
+
+    return jax.vmap(one)(keys)
+
+
+def potential_and_grad(potential_fn: Callable):
+    return jax.value_and_grad(potential_fn)
+
+
+def langevin_noise_scale(lr):
+    """Effective Langevin noise std sqrt(2*lr).
+
+    The reference draws Normal(0, 1/sqrt(0.5*lr)) and multiplies by lr
+    (langevin.py:193-199), i.e. std lr/sqrt(lr/2) = sqrt(2*lr); here the
+    noise is drawn standard and scaled once.
+    """
+    return jnp.sqrt(2.0 * lr)

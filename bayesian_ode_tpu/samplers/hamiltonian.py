@@ -1,0 +1,164 @@
+"""Adaptive SGHMC and its cyclical variant.
+
+pybnn-style adaptive Stochastic Gradient HMC (Springenberg et al. 2016);
+update equations follow reference samplers/hamiltonian.py exactly.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.pytree import PyTree, tree_random_normal
+from . import schedules
+from .base import TransitionKernel
+
+
+class SGHMCState(NamedTuple):
+    position: PyTree
+    potential: jax.Array
+    grad: PyTree
+    tau: PyTree        # moving-average window sizes
+    g: PyTree          # averaged gradient
+    v_hat: PyTree      # gradient variance estimate
+    momentum: PyTree
+    step: jax.Array
+
+
+def _sghmc_core(key, state, lr, grad, mom_decay, lambda_, burn_in,
+                resample_every: Optional[int], noise_on):
+    """Shared aSGHMC update (reference hamiltonian.py:55-102).
+
+    During burn-in, adapt (tau, g, v_hat); preconditioner
+    Minv = 1/(sqrt(v_hat)+lambda); momentum update
+        m <- m - lr^2*Minv*grad - c*m + N(0, max(2*lr^2*c*Minv - lr^4, 1e-16))
+    then theta += m.  Optional periodic momentum resampling outside burn-in
+    with std clamp(1/Minv, max=10) (hamiltonian.py:81-83).
+    """
+    key_noise, key_resample = jax.random.split(key)
+
+    def adapt(tau, g_avg, v_hat):
+        tau_inv = jax.tree.map(lambda t: 1.0 / (t + 1.0), tau)
+        tau_new = jax.tree.map(
+            lambda t, ga, vh: t - t * (ga * ga / (vh + lambda_)) + 1.0,
+            tau, g_avg, v_hat,
+        )
+        g_new = jax.tree.map(
+            lambda ga, ti, gr: ga - ga * ti + ti * gr, g_avg, tau_inv, grad
+        )
+        v_new = jax.tree.map(
+            lambda vh, ti, gr: vh - vh * ti + ti * gr**2, v_hat, tau_inv, grad
+        )
+        return tau_new, g_new, v_new
+
+    if burn_in:
+        tau, g_avg, v_hat = adapt(state.tau, state.g, state.v_hat)
+    else:
+        tau, g_avg, v_hat = state.tau, state.g, state.v_hat
+
+    minv = jax.tree.map(lambda vh: 1.0 / (jnp.sqrt(vh) + lambda_), v_hat)
+
+    momentum = state.momentum
+    if (not burn_in) and resample_every is not None:
+        do_resample = (state.step % resample_every) == 0
+        fresh = jax.tree.map(
+            lambda m, mi, n: jnp.clip(1.0 / mi, max=1e1) * n,
+            momentum, minv, tree_random_normal(key_resample, momentum),
+        )
+        momentum = jax.tree.map(
+            lambda m, f: jnp.where(do_resample, f, m), momentum, fresh
+        )
+
+    sigma = jax.tree.map(
+        lambda mi: jnp.sqrt(
+            jnp.clip(2.0 * lr**2 * mom_decay * mi - lr**4, min=1e-16)
+        ),
+        minv,
+    )
+    momentum = jax.tree.map(
+        lambda m, mi, gr: m - lr**2 * mi * gr - mom_decay * m,
+        momentum, minv, grad,
+    )
+    noise = tree_random_normal(key_noise, momentum)
+    momentum = jax.tree.map(
+        lambda m, s, n: m + jnp.where(noise_on, s, 0.0) * n,
+        momentum, sigma, noise,
+    )
+    position = jax.tree.map(lambda p, m: p + m, state.position, momentum)
+    return position, tau, g_avg, v_hat, momentum
+
+
+def _make_sghmc(potential_fn, lr_fn, mom_decay, lambda_, resample_every,
+                burn_in_steps, noise_fn):
+    value_and_grad = jax.value_and_grad(potential_fn)
+
+    def init(position):
+        u, g = value_and_grad(position)
+        ones = jax.tree.map(jnp.ones_like, position)
+        zeros = jax.tree.map(jnp.zeros_like, position)
+        return SGHMCState(position, u, g, ones, ones, ones, zeros,
+                          jnp.asarray(0, jnp.int32))
+
+    def step(key, state):
+        lr = lr_fn(state.step)
+        in_burn_in = state.step < burn_in_steps
+        noise_on = noise_fn(state.step)
+
+        # Branchless burn-in adaptation: compute both and select (the adapt
+        # update is cheap relative to the gradient).
+        pos_b, tau_b, g_b, v_b, mom_b = _sghmc_core(
+            key, state, lr, state.grad, mom_decay, lambda_, True,
+            None, noise_on,
+        )
+        pos_s, tau_s, g_s, v_s, mom_s = _sghmc_core(
+            key, state, lr, state.grad, mom_decay, lambda_, False,
+            resample_every, noise_on,
+        )
+        sel = lambda a, b: jax.tree.map(
+            lambda x, y: jnp.where(in_burn_in, x, y), a, b
+        )
+        position = sel(pos_b, pos_s)
+        u, g = value_and_grad(position)
+        new_state = SGHMCState(
+            position, u, g, sel(tau_b, tau_s), sel(g_b, g_s), sel(v_b, v_s),
+            sel(mom_b, mom_s), state.step + 1,
+        )
+        info = {"potential": state.potential, "accepted": jnp.asarray(True),
+                "step_size": lr}
+        return new_state, info
+
+    return TransitionKernel(init, step)
+
+
+def asghmc(potential_fn: Callable, step_size, burn_in_steps: int,
+           mom_decay: float = 5e-2, lambda_: float = 1e-5,
+           resample_momentum_every: Optional[int] = None,
+           add_noise: bool = True) -> TransitionKernel:
+    """Adaptive SGHMC (reference hamiltonian.py:11-164).
+
+    `burn_in_steps` controls how long the (tau, g, v_hat) statistics adapt —
+    the reference flips `burn_in=True/False` between its two loops; here the
+    kernel's step counter does it.
+    """
+    lr_fn = schedules.resolve(step_size)
+    noise_fn = (lambda t: jnp.asarray(add_noise)) if add_noise else (
+        lambda t: jnp.asarray(False))
+    return _make_sghmc(potential_fn, lr_fn, mom_decay, lambda_,
+                       resample_momentum_every, burn_in_steps, noise_fn)
+
+
+def acsghmc(potential_fn: Callable, lr0: float, num_cycles: int,
+            total_iters: int, burn_in_steps: int, beta: float = 0.25,
+            mom_decay: float = 5e-2, lambda_: float = 1e-5,
+            resample_momentum_every: Optional[int] = None) -> TransitionKernel:
+    """Cyclical adaptive SGHMC (reference hamiltonian.py:167-334): cosine
+    step size; noise injected only in the sampling phase of each cycle
+    (r > beta, hamiltonian.py:254-262)."""
+    lr_fn = schedules.cyclical_cosine(lr0, num_cycles, total_iters)
+
+    def noise_fn(t):
+        return schedules.cycle_position(t, num_cycles, total_iters) > beta
+
+    return _make_sghmc(potential_fn, lr_fn, mom_decay, lambda_,
+                       resample_momentum_every, burn_in_steps, noise_fn)

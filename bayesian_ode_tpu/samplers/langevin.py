@@ -1,0 +1,345 @@
+"""Langevin-family samplers: SGLD, pSGLD, aSGLD, cSGLD, MALA, MMALA.
+
+Pure transition kernels over pytree positions (see base.py for the design
+stance vs the reference's Optimizer mutation).  Update equations follow
+samplers/langevin.py of the reference exactly (file:line cites inline);
+the Langevin noise convention is std sqrt(2*lr) (langevin.py:193-199).
+
+All kernels are built from `potential_fn(theta) -> U` with U = -log
+posterior, evaluated with `jax.value_and_grad` — the reference's
+`closure(); loss.backward()` pattern.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.pytree import (
+    PyTree,
+    ravel_pytree,
+    tree_random_normal,
+    tree_sum_squares,
+    tree_where,
+)
+from . import schedules
+from .base import TransitionKernel, langevin_noise_scale
+
+
+class LangevinState(NamedTuple):
+    position: PyTree
+    potential: jax.Array
+    grad: PyTree
+    step: jax.Array
+
+
+class PreconditionedState(NamedTuple):
+    position: PyTree
+    potential: jax.Array
+    grad: PyTree
+    v: PyTree          # EMA of squared gradients
+    step: jax.Array
+
+
+def sgld(potential_fn: Callable, step_size, add_noise: bool = True
+         ) -> TransitionKernel:
+    """Stochastic Gradient Langevin Dynamics (Welling & Teh 2011).
+
+    theta' = theta - lr*grad - sqrt(2*lr)*xi   (langevin.py:173-199; always
+    "accepted", langevin.py:247).  `step_size` may be a float or a schedule
+    such as schedules.polynomial_decay (the reference's lr0/(t0+alpha*t)^gamma).
+    """
+    sched = schedules.resolve(step_size)
+    value_and_grad = jax.value_and_grad(potential_fn)
+
+    def init(position):
+        u, g = value_and_grad(position)
+        return LangevinState(position, u, g, jnp.asarray(0, jnp.int32))
+
+    def step(key, state):
+        lr = sched(state.step)
+        if add_noise:
+            noise = tree_random_normal(key, state.position)
+            new_pos = jax.tree.map(
+                lambda p, g, n: p - lr * g - langevin_noise_scale(lr) * n,
+                state.position, state.grad, noise,
+            )
+        else:
+            new_pos = jax.tree.map(
+                lambda p, g: p - lr * g, state.position, state.grad
+            )
+        u, g = value_and_grad(new_pos)
+        info = {"potential": state.potential, "accepted": jnp.asarray(True),
+                "step_size": lr}
+        return LangevinState(new_pos, u, g, state.step + 1), info
+
+    return TransitionKernel(init, step)
+
+
+def mala(potential_fn: Callable, step_size, add_noise: bool = True
+         ) -> TransitionKernel:
+    """Metropolis-Adjusted Langevin (Xifara et al., arXiv:1309.2983).
+
+    SGLD proposal + MH correction with the asymmetric-proposal ratio
+    log_alpha = U_old - U_new
+                - 1/(4*lr) ||theta_old - theta' + lr*grad'||^2
+                + 1/(4*lr) ||theta' - theta_old + lr*grad_old||^2
+    (langevin.py:69-91); rejection restores the previous position.
+    """
+    sched = schedules.resolve(step_size)
+    value_and_grad = jax.value_and_grad(potential_fn)
+
+    def init(position):
+        u, g = value_and_grad(position)
+        return LangevinState(position, u, g, jnp.asarray(0, jnp.int32))
+
+    def step(key, state):
+        lr = sched(state.step)
+        key_prop, key_mh = jax.random.split(key)
+
+        if not add_noise:
+            new_pos = jax.tree.map(
+                lambda p, g: p - lr * g, state.position, state.grad
+            )
+            u, g = value_and_grad(new_pos)
+            info = {"potential": state.potential,
+                    "accepted": jnp.asarray(True), "step_size": lr}
+            return LangevinState(new_pos, u, g, state.step + 1), info
+
+        noise = tree_random_normal(key_prop, state.position)
+        proposal = jax.tree.map(
+            lambda p, g, n: p - lr * g - langevin_noise_scale(lr) * n,
+            state.position, state.grad, noise,
+        )
+        u_new, g_new = value_and_grad(proposal)
+
+        log_alpha = state.potential - u_new
+        # reverse proposal probability (langevin.py:78-80)
+        rev = jax.tree.map(
+            lambda po, pn, gn: po - pn + lr * gn,
+            state.position, proposal, g_new,
+        )
+        log_alpha += -1.0 / (4 * lr) * tree_sum_squares(rev)
+        # forward proposal probability (langevin.py:81-83)
+        fwd = jax.tree.map(
+            lambda pn, po, go: pn - po + lr * go,
+            proposal, state.position, state.grad,
+        )
+        log_alpha -= -1.0 / (4 * lr) * tree_sum_squares(fwd)
+
+        accept = jnp.isfinite(log_alpha) & (
+            jnp.log(jax.random.uniform(key_mh)) < log_alpha
+        )
+        new_state = LangevinState(
+            position=tree_where(accept, proposal, state.position),
+            potential=jnp.where(accept, u_new, state.potential),
+            grad=tree_where(accept, g_new, state.grad),
+            step=state.step + 1,
+        )
+        info = {"potential": new_state.potential, "accepted": accept,
+                "step_size": lr}
+        return new_state, info
+
+    return TransitionKernel(init, step)
+
+
+def psgld(potential_fn: Callable, step_size, alpha: float = 0.99,
+          lambda_: float = 1e-5, add_noise: bool = True) -> TransitionKernel:
+    """Preconditioned SGLD (Li et al. 2015).
+
+    V <- alpha*V + (1-alpha)*g^2;  G = 1/(lambda + sqrt(V));
+    theta' = theta - lr*G*g - sqrt(2*lr*G)*xi   (langevin.py:478-497).
+    The Gamma curvature term is omitted, as in the reference (langevin.py
+    deprecated Theano path).  The reference divides the loss by the data
+    count N before backprop (langevin.py:528) — fold that into
+    `potential_fn` if desired.
+    """
+    sched = schedules.resolve(step_size)
+    value_and_grad = jax.value_and_grad(potential_fn)
+
+    def init(position):
+        u, g = value_and_grad(position)
+        v = jax.tree.map(jnp.zeros_like, g)
+        return PreconditionedState(position, u, g, v, jnp.asarray(0, jnp.int32))
+
+    def step(key, state):
+        lr = sched(state.step)
+        v = jax.tree.map(
+            lambda v_, g_: alpha * v_ + (1 - alpha) * g_**2, state.v, state.grad
+        )
+        G = jax.tree.map(lambda v_: 1.0 / (lambda_ + jnp.sqrt(v_)), v)
+        if add_noise:
+            noise = tree_random_normal(key, state.position)
+            new_pos = jax.tree.map(
+                lambda p, g_, G_, n: p - lr * G_ * g_
+                - langevin_noise_scale(lr) * jnp.sqrt(G_) * n,
+                state.position, state.grad, G, noise,
+            )
+        else:
+            new_pos = jax.tree.map(
+                lambda p, g_, G_: p - lr * G_ * g_, state.position, state.grad, G
+            )
+        u, g = value_and_grad(new_pos)
+        info = {"potential": state.potential, "accepted": jnp.asarray(True),
+                "step_size": lr}
+        return PreconditionedState(new_pos, u, g, v, state.step + 1), info
+
+    return TransitionKernel(init, step)
+
+
+def asgld(potential_fn: Callable, step_size, alpha: float = 0.99,
+          lambda_: float = 1e-5, add_noise: bool = True) -> TransitionKernel:
+    """"Adaptively preconditioned" SGLD.
+
+    The reference's aSGLD update (langevin.py:1514-1540) is byte-identical
+    to pSGLD's (the intended Adam-like variant was never implemented, per
+    README.md:18), so this is the same kernel; kept as a separate name for
+    API parity.
+    """
+    return psgld(potential_fn, step_size, alpha, lambda_, add_noise)
+
+
+class CyclicalState(NamedTuple):
+    position: PyTree
+    potential: jax.Array
+    grad: PyTree
+    step: jax.Array
+
+
+def csgld(potential_fn: Callable, lr0: float, num_cycles: int,
+          total_iters: int, beta: float = 0.25) -> TransitionKernel:
+    """Cyclical SGLD (Zhang et al. 2020; reference langevin.py:1600-1724).
+
+    Cosine step size over `num_cycles` cycles; exploration phase
+    (r <= beta) takes pure gradient steps, sampling phase (r > beta) adds
+    Langevin noise.  info["sampling_phase"] marks steps whose positions are
+    posterior samples (the reference records None during exploration,
+    langevin.py:1702-1710 — with fixed shapes, mask instead).
+    """
+    value_and_grad = jax.value_and_grad(potential_fn)
+    lr_fn = schedules.cyclical_cosine(lr0, num_cycles, total_iters)
+
+    def init(position):
+        u, g = value_and_grad(position)
+        return CyclicalState(position, u, g, jnp.asarray(0, jnp.int32))
+
+    def step(key, state):
+        lr = lr_fn(state.step)
+        r = schedules.cycle_position(state.step, num_cycles, total_iters)
+        in_sampling = r > beta
+
+        noise = tree_random_normal(key, state.position)
+        new_pos = jax.tree.map(
+            lambda p, g, n: p - lr * g
+            - jnp.where(in_sampling, langevin_noise_scale(lr), 0.0) * n,
+            state.position, state.grad, noise,
+        )
+        u, g = value_and_grad(new_pos)
+        info = {"potential": state.potential, "accepted": jnp.asarray(True),
+                "step_size": lr, "sampling_phase": in_sampling}
+        return CyclicalState(new_pos, u, g, state.step + 1), info
+
+    return TransitionKernel(init, step)
+
+
+class MMALAState(NamedTuple):
+    position: PyTree
+    potential: jax.Array
+    grad: PyTree
+    metric: jax.Array          # (P, P) on the flattened parameter vector
+    inv_metric: jax.Array      # (P, P)
+    sqrtinv_metric: jax.Array  # (P, P)
+    logdet_metric: jax.Array
+    step: jax.Array
+
+
+def mmala(potential_fn: Callable, step_size, metric_fn: Callable,
+          add_noise: bool = True) -> TransitionKernel:
+    """Manifold MALA (Girolami & Calderhead; reference langevin.py:260-420).
+
+    `metric_fn(position) -> dict` must provide 'Metric', 'invMetric' and
+    'sqrtinvMetric' (P, P) matrices on the flattened parameter vector (see
+    metrics.softabs_metric / hessian_metric / identity_metric).
+
+    Proposal (langevin.py:318-321):
+        theta' = theta - lr*Minv*grad - sqrt(2*lr)*Msqinv*xi
+    so q(theta'|theta) = N(theta - lr*Minv*grad, 2*lr*Minv).
+
+    Deliberate fix vs the reference: its MH correction weights the
+    quadratic forms with invMetric and drops the log-det ratio
+    (langevin.py:348-358) — the proposal covariance is 2*lr*Minv, so the
+    Gaussian exponent must be weighted by the *metric* and, with a
+    position-dependent metric, the 1/2 log det M terms do not cancel.  The
+    reference's error is masked by its SoftAbsMetric returning the metric
+    under the 'invMetric' key (metrics.py:66-68); the corrected pair here
+    leaves the target distribution exactly invariant (verified by moment
+    tests on exact Gaussians).
+    """
+    sched = schedules.resolve(step_size)
+    value_and_grad = jax.value_and_grad(potential_fn)
+
+    def eval_metric(position):
+        m = metric_fn(position)
+        if "log_det_sqrt" in m:
+            logdet = 2.0 * m["log_det_sqrt"]
+        else:
+            logdet = jnp.linalg.slogdet(m["Metric"])[1]
+        return m["Metric"], m["invMetric"], m["sqrtinvMetric"], logdet
+
+    def init(position):
+        u, g = value_and_grad(position)
+        M, Minv, Msqinv, logdet = eval_metric(position)
+        return MMALAState(position, u, g, M, Minv, Msqinv, logdet,
+                          jnp.asarray(0, jnp.int32))
+
+    def step(key, state):
+        lr = sched(state.step)
+        key_prop, key_mh = jax.random.split(key)
+
+        theta, unravel = ravel_pytree(state.position)
+        grad_vec, _ = ravel_pytree(state.grad)
+
+        xi = jax.random.normal(key_prop, theta.shape, theta.dtype)
+        theta_new = (
+            theta
+            - lr * state.inv_metric @ grad_vec
+            - langevin_noise_scale(lr) * state.sqrtinv_metric @ xi
+        )
+        proposal = unravel(theta_new)
+        u_new, g_new = value_and_grad(proposal)
+        grad_new_vec, _ = ravel_pytree(g_new)
+        M_new, Minv_new, Msqinv_new, logdet_new = eval_metric(proposal)
+
+        if add_noise:
+            log_alpha = state.potential - u_new
+            # log q(theta | theta'): metric and drift at the proposal
+            rev = theta - theta_new + lr * Minv_new @ grad_new_vec
+            log_alpha += 0.5 * logdet_new - 1.0 / (4 * lr) * rev @ (M_new @ rev)
+            # log q(theta' | theta): metric and drift at the current point
+            fwd = theta_new - theta + lr * state.inv_metric @ grad_vec
+            log_alpha -= (
+                0.5 * state.logdet_metric
+                - 1.0 / (4 * lr) * fwd @ (state.metric @ fwd)
+            )
+            accept = jnp.isfinite(log_alpha) & (
+                jnp.log(jax.random.uniform(key_mh)) < log_alpha
+            )
+        else:
+            accept = jnp.asarray(True)
+
+        new_state = MMALAState(
+            position=tree_where(accept, proposal, state.position),
+            potential=jnp.where(accept, u_new, state.potential),
+            grad=tree_where(accept, g_new, state.grad),
+            metric=jnp.where(accept, M_new, state.metric),
+            inv_metric=jnp.where(accept, Minv_new, state.inv_metric),
+            sqrtinv_metric=jnp.where(accept, Msqinv_new, state.sqrtinv_metric),
+            logdet_metric=jnp.where(accept, logdet_new, state.logdet_metric),
+            step=state.step + 1,
+        )
+        info = {"potential": new_state.potential, "accepted": accept,
+                "step_size": lr}
+        return new_state, info
+
+    return TransitionKernel(init, step)

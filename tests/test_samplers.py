@@ -1,0 +1,233 @@
+"""Sampler correctness on exact Gaussian targets.
+
+The reference tests samplers only "by eye" on toy plots (SURVEY.md §4);
+here each kernel is run on closed-form targets and checked by moment
+matching, acceptance behavior, and (for HAMCMC) against a dense BFGS
+oracle.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesian_ode_tpu import samplers
+from bayesian_ode_tpu.samplers import schedules
+from bayesian_ode_tpu.samplers.hamcmc import hamcmc_dense_oracle, hamcmc_products
+
+# 2-D correlated Gaussian target
+COV = jnp.asarray([[1.0, 0.6], [0.6, 0.8]])
+PREC = jnp.linalg.inv(COV)
+
+
+def gauss_potential(x):
+    return 0.5 * x @ PREC @ x
+
+
+def run_chains(kernel, key, num_chains=32, num_samples=400, burn_in=200,
+               x0=None, jitter=1.0):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(key))
+    x0 = jnp.zeros(2) if x0 is None else x0
+    states = samplers.init_chains(kernel, k1, x0, num_chains, jitter=jitter)
+    _, positions, infos = samplers.sample_chains(
+        kernel, states, jax.random.split(k2, num_chains), num_samples,
+        burn_in=burn_in,
+    )
+    return positions, infos  # (chains, samples, 2)
+
+
+def check_moments(positions, mean_tol=0.15, cov_tol=0.25):
+    flat = positions.reshape(-1, 2)
+    mean = jnp.mean(flat, axis=0)
+    cov = jnp.cov(flat.T)
+    assert jnp.max(jnp.abs(mean)) < mean_tol, mean
+    assert jnp.max(jnp.abs(cov - COV)) < cov_tol, cov
+
+
+def test_mala_gaussian_moments_and_acceptance():
+    kernel = samplers.mala(gauss_potential, step_size=0.25)
+    positions, infos = run_chains(kernel, 0, num_samples=600)
+    acc = jnp.mean(infos["accepted"].astype(jnp.float32))
+    assert 0.3 < acc < 0.99, acc
+    check_moments(positions)
+
+
+def test_sgld_gaussian_moments():
+    kernel = samplers.sgld(gauss_potential, step_size=0.02)
+    positions, infos = run_chains(kernel, 1, num_samples=1500, burn_in=300)
+    assert bool(jnp.all(infos["accepted"]))
+    check_moments(positions, cov_tol=0.3)
+
+
+def test_sgld_polynomial_decay_schedule():
+    sched = schedules.polynomial_decay(lr0=0.1, gamma=0.55, t0=100, alpha=1.0)
+    kernel = samplers.sgld(gauss_potential, step_size=sched)
+    positions, infos = run_chains(kernel, 2, num_samples=400, burn_in=100)
+    lrs = infos["step_size"]
+    # decaying lr: lr(t) = lr0/(t0 + t)^gamma (langevin.py:205-210)
+    assert float(lrs[0, 0]) > float(lrs[0, -1])
+    np.testing.assert_allclose(
+        np.asarray(lrs[0, 0]), 0.1 / (100 + 100) ** 0.55, rtol=1e-6
+    )
+
+
+def test_psgld_gaussian_moments():
+    kernel = samplers.psgld(gauss_potential, step_size=0.02, alpha=0.99)
+    positions, _ = run_chains(kernel, 3, num_samples=1500, burn_in=300)
+    # pSGLD's preconditioner skews the invariant measure slightly (no Gamma
+    # term, as in the reference); moments still near target.
+    check_moments(positions, mean_tol=0.2, cov_tol=0.4)
+
+
+def test_csgld_phases_and_schedule():
+    total = 300
+    kernel = samplers.csgld(gauss_potential, lr0=0.05, num_cycles=3,
+                            total_iters=total, beta=0.25)
+    positions, infos = run_chains(kernel, 4, num_samples=total, burn_in=0)
+    phase = infos["sampling_phase"][0]
+    # both exploration and sampling steps occur, in cycle-periodic blocks
+    assert bool(jnp.any(phase)) and bool(jnp.any(~phase))
+    lrs = infos["step_size"][0]
+    ceil = (total + 3) // 3
+    # cosine restarts: lr at a cycle start is near lr0
+    assert float(lrs[1 + ceil]) > float(lrs[ceil - 1])
+
+
+def test_asghmc_gaussian_moments():
+    kernel = samplers.asghmc(gauss_potential, step_size=0.1,
+                             burn_in_steps=200, mom_decay=0.05)
+    positions, _ = run_chains(kernel, 5, num_samples=2000, burn_in=300)
+    check_moments(positions, mean_tol=0.25, cov_tol=0.45)
+
+
+def test_mmala_softabs_gaussian():
+    metric = samplers.softabs_metric(gauss_potential, softabs_coeff=1e3)
+    kernel = samplers.mmala(gauss_potential, step_size=0.5, metric_fn=metric)
+    positions, infos = run_chains(kernel, 6, num_samples=600, burn_in=200)
+    acc = jnp.mean(infos["accepted"].astype(jnp.float32))
+    assert acc > 0.3, acc
+    check_moments(positions)
+
+
+def test_softabs_metric_properties():
+    metric = samplers.softabs_metric(gauss_potential, softabs_coeff=1e4)
+    m = metric(jnp.asarray([0.3, -0.2]))
+    # Hessian of the quadratic potential is the precision matrix
+    np.testing.assert_allclose(np.asarray(m["hess"]), np.asarray(PREC), atol=1e-8)
+    # softabs(lambda) ~ |lambda| for large coeff; Metric ~ PREC here (PD)
+    np.testing.assert_allclose(np.asarray(m["Metric"]), np.asarray(PREC), atol=1e-4)
+    # invMetric is an actual inverse (reference returned Metric, metrics.py:66-68)
+    np.testing.assert_allclose(
+        np.asarray(m["invMetric"] @ m["Metric"]), np.eye(2), atol=1e-4
+    )
+    # sqrtinv @ sqrtinv^T == invMetric
+    np.testing.assert_allclose(
+        np.asarray(m["sqrtinvMetric"] @ m["sqrtinvMetric"].T),
+        np.asarray(m["invMetric"]), atol=1e-6,
+    )
+
+
+def test_hessian_and_identity_metrics():
+    m = samplers.hessian_metric(gauss_potential)(jnp.zeros(2))
+    np.testing.assert_allclose(np.asarray(m["invMetric"]), np.asarray(COV),
+                               atol=1e-5)
+    mi = samplers.identity_metric(2)(jnp.zeros(2))
+    np.testing.assert_allclose(np.asarray(mi["invMetric"]), np.eye(2))
+
+
+def test_hamcmc_recursion_matches_dense_oracle():
+    # The matrix-free square-root recursion must reproduce the dense BFGS
+    # inverse Hessian (the reference's `_compute_vector_prod_old` oracle,
+    # langevin.py:669-715).
+    rng = np.random.RandomState(0)
+    P, n_pairs = 6, 4
+    s = jnp.asarray(rng.randn(n_pairs, P))
+    # build y = A s + small noise with A SPD so s^T y > 0
+    A = rng.randn(P, P)
+    A = A @ A.T + P * np.eye(P)
+    y = jnp.asarray(s @ A.T)
+    valid = jnp.ones(n_pairs, bool)
+    H_gamma = 2.0
+
+    H_dense = hamcmc_dense_oracle(s, y, valid, H_gamma)
+    g = jnp.asarray(rng.randn(P))
+    Hg, _ = hamcmc_products(s, y, valid, H_gamma, g, jnp.zeros(P))
+    np.testing.assert_allclose(np.asarray(Hg), np.asarray(H_dense @ g),
+                               rtol=1e-8, atol=1e-8)
+
+    # S S^T == H: apply S to the identity columns
+    S_cols = jnp.stack([
+        hamcmc_products(s, y, valid, H_gamma, jnp.zeros(P),
+                        jnp.eye(P)[i])[1]
+        for i in range(P)
+    ], axis=1)
+    np.testing.assert_allclose(np.asarray(S_cols @ S_cols.T),
+                               np.asarray(H_dense), rtol=1e-7, atol=1e-8)
+
+    # invalid pairs are identity operations: H0 = B0^{-1} = H_gamma * I
+    none_valid = jnp.zeros(n_pairs, bool)
+    Hg0, Sn0 = hamcmc_products(s, y, none_valid, H_gamma, g, g)
+    np.testing.assert_allclose(np.asarray(Hg0), H_gamma * np.asarray(g),
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(Sn0), np.sqrt(H_gamma) * np.asarray(g),
+                               rtol=1e-8)
+
+
+def test_hamcmc_pair_filtering():
+    # pairs violating s^T y > eps s^T s are rejected (langevin.py:875-882)
+    rng = np.random.RandomState(1)
+    P = 4
+    s = jnp.asarray(rng.randn(2, P))
+    y = -s  # s^T y < 0
+    valid = jnp.ones(2, bool)
+    H = hamcmc_dense_oracle(s, y, valid, 1.0)
+    np.testing.assert_allclose(np.asarray(H), np.eye(P))  # untouched
+
+
+@pytest.mark.parametrize("variant", [1, 2, 3, 4])
+def test_hamcmc_gaussian_moments(variant):
+    kernel = samplers.hamcmc(gauss_potential, step_size=0.02, memory=3,
+                             variant=variant, warmup_extra=20)
+    positions, infos = run_chains(kernel, 7 + variant, num_samples=1200,
+                                  burn_in=300)
+    # after warm-up the metric path is active and pairs accumulate
+    assert bool(jnp.all(infos["using_metric"][:, -1]))
+    assert int(jnp.max(infos["n_pairs"])) > 0
+    check_moments(positions, mean_tol=0.25, cov_tol=0.5)
+
+
+def test_svgd_gaussian_particles():
+    kernel = samplers.svgd(gauss_potential, step_size=0.3)
+    key = jax.random.PRNGKey(42)
+    particles = jax.random.normal(key, (256, 2)) * 2.0 + 3.0
+    state = kernel.init(particles)
+    # deterministic flow: run 2000 steps under scan
+    state, _, _ = samplers.sample_chain(kernel, state, jax.random.PRNGKey(0),
+                                        num_samples=1, burn_in=2000)
+    mean = jnp.mean(state.particles, axis=0)
+    cov = jnp.cov(state.particles.T)
+    assert jnp.max(jnp.abs(mean)) < 0.05, mean
+    # SVGD's finite-ensemble covariance is slightly shrunk vs the target
+    assert jnp.max(jnp.abs(cov - COV)) < 0.1, cov
+
+
+def test_diagnostics_ess_rhat():
+    key = jax.random.PRNGKey(0)
+    iid = jax.random.normal(key, (4, 1000))
+    e = samplers.ess(iid)
+    assert 2000 < float(e) < 6500, e  # ~ m*n for iid
+
+    # AR(1) with strong correlation has much smaller ESS
+    def ar1(key):
+        def body(x, eps):
+            x = 0.95 * x + jnp.sqrt(1 - 0.95**2) * eps
+            return x, x
+        _, xs = jax.lax.scan(body, 0.0, jax.random.normal(key, (1000,)))
+        return xs
+
+    corr = jax.vmap(ar1)(jax.random.split(key, 4))
+    assert float(samplers.ess(corr)) < 0.25 * float(e)
+
+    r_good = samplers.split_rhat(iid)
+    assert abs(float(r_good) - 1.0) < 0.05
+    shifted = iid + jnp.arange(4)[:, None] * 3.0
+    assert float(samplers.split_rhat(shifted)) > 1.5
