@@ -1,0 +1,18 @@
+"""ODE vector fields and target densities (reference L4, SURVEY.md §2.4)."""
+from . import kernel_regression, mlp, spiral, toy_densities  # noqa: F401
+from .data import make_dataset  # noqa: F401
+from .dynamics import DYNAMICS, fhn, lv, vdp  # noqa: F401
+from .toy_densities import TOY_POTENTIALS  # noqa: F401
+
+__all__ = [
+    "DYNAMICS",
+    "TOY_POTENTIALS",
+    "fhn",
+    "kernel_regression",
+    "lv",
+    "make_dataset",
+    "mlp",
+    "spiral",
+    "toy_densities",
+    "vdp",
+]

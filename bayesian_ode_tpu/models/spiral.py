@@ -1,0 +1,59 @@
+"""Spiral neural-ODE demo (reference neuralode_examples/ode_demo.py).
+
+True dynamics dy/dt = y^3 @ A with A = [[-0.1, 2], [-2, -0.1]]
+(ode_demo.py:30-41); the learned vector field is Linear(2, 50)-Tanh-
+Linear(50, 2) applied to y^3 (ode_demo.py:111-128, weights ~ N(0, 0.1),
+zero bias); training minibatches are random sub-trajectories
+(ode_demo.py:44-49).
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+TRUE_A = jnp.asarray([[-0.1, 2.0], [-2.0, -0.1]])
+TRUE_Y0 = jnp.asarray([2.0, 0.0])
+
+
+def true_field(t, y):
+    return (y**3) @ TRUE_A
+
+
+def init_params(key, hidden: int = 50):
+    k1, k2 = jax.random.split(key)
+    return {
+        "w1": 0.1 * jax.random.normal(k1, (2, hidden)),
+        "b1": jnp.zeros((hidden,)),
+        "w2": 0.1 * jax.random.normal(k2, (hidden, 2)),
+        "b2": jnp.zeros((2,)),
+    }
+
+
+def vector_field(params, t, y):
+    h = jnp.tanh((y**3) @ params["w1"] + params["b1"])
+    return h @ params["w2"] + params["b2"]
+
+
+def get_batch(key, true_y, t, batch_time: int = 10, batch_size: int = 20):
+    """Random sub-trajectory minibatch (ode_demo.py:44-49): returns
+    (batch_y0 (B, 2), batch_t (batch_time,), batch_y (batch_time, B, 2))."""
+    n = true_y.shape[0] - batch_time
+    s = jax.random.choice(key, n, (batch_size,), replace=False)
+    batch_y0 = true_y[s]
+    batch_t = t[:batch_time]
+    batch_y = jnp.stack([true_y[s + i] for i in range(batch_time)])
+    return batch_y0, batch_t, batch_y
+
+
+def make_loss(odeint_fn: Callable, batch_y0, batch_t, batch_y):
+    """mean |pred - batch| (ode_demo.py:165)."""
+
+    def loss(params):
+        pred = odeint_fn(
+            lambda tt, y: vector_field(params, tt, y), batch_y0, batch_t
+        )
+        return jnp.mean(jnp.abs(pred - batch_y))
+
+    return loss

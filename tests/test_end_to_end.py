@@ -1,0 +1,92 @@
+"""The minimum end-to-end slice (SURVEY.md §7.3): GP Van der Pol posterior,
+rk4 + continuous adjoint, SGLD kernel vmapped over chains, chain + ESS out.
+This is the workload shape of BASELINE.json config #1."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bayesian_ode_tpu import odeint_adjoint, samplers
+from bayesian_ode_tpu.models import kernel_regression as kr
+from bayesian_ode_tpu.models import make_dataset
+from bayesian_ode_tpu.optim import lbfgs_minimize
+from bayesian_ode_tpu.samplers import schedules
+
+
+def _setup(M=6, N=5, T=60):
+    data = make_dataset(jax.random.PRNGKey(2), "vdp", N=N, T=T, t_max=6.0,
+                        noise=0.05, x0_scale=1.5)
+    Z = kr.make_inducing_grid(data["Y"], M=M)
+    static = kr.make_static(Z, sf=1.0, ell=0.75)
+    params0 = kr.init_params(data["Y"], data["t"], static, noise=0.05)
+    solve = lambda f, x0, t: odeint_adjoint(f, x0, t, method="rk4")
+    potential = kr.make_potential(static, data["x0"], data["t"], data["Y"],
+                                  solve)
+    return data, static, params0, potential
+
+
+def test_sgld_gp_vdp_posterior_chains():
+    data, static, params0, potential = _setup()
+    sched = schedules.polynomial_decay(lr0=1e-5, gamma=0.55, t0=100)
+    kernel = samplers.sgld(potential, step_size=sched)
+
+    n_chains = 8
+    states = samplers.init_chains(kernel, jax.random.PRNGKey(1), params0,
+                                  n_chains, jitter=0.01)
+    run = jax.jit(
+        lambda s, k: samplers.sample_chains(kernel, s, k, num_samples=40,
+                                            burn_in=40, thin=2)
+    )
+    _, positions, infos = run(states,
+                              jax.random.split(jax.random.PRNGKey(2), n_chains))
+
+    assert positions["U"].shape == (n_chains, 40, 36, 2)
+    assert positions["logsn"].shape == (n_chains, 40, 2)
+    pots = infos["potential"]
+    assert np.isfinite(np.asarray(pots)).all()
+    # Langevin dynamics descends into the posterior bulk
+    assert float(jnp.median(pots[:, -1])) < float(jnp.median(pots[:, 0]))
+
+    # chain diagnostics on a scalar summary (the ESS half of the
+    # effective-samples/sec north-star metric)
+    e = samplers.ess(positions["logsn"][:, :, 0])
+    assert np.isfinite(float(e)) and float(e) > 0
+
+    # posterior-mode (min potential) sample defines a field close to truth
+    flat_idx = jnp.argmin(pots)
+    ci, si = jnp.unravel_index(flat_idx, pots.shape)
+    best = {
+        "U": positions["U"][ci, si],
+        "logsn": positions["logsn"][ci, si],
+    }
+    from bayesian_ode_tpu.models import vdp
+
+    f_hat = kr.vector_field(best, static, 0.0, static.Z)
+    f_true = vdp(0.0, static.Z)
+    corr = np.corrcoef(np.asarray(f_hat).ravel(),
+                       np.asarray(f_true).ravel())[0, 1]
+    assert corr > 0.6, corr
+
+
+def test_map_optimization_lbfgs():
+    # The reference's run_optim MAP baseline (gp.py:120-139) with
+    # FullBatchLBFGS + line search.
+    data, static, params0, potential = _setup()
+    u0 = float(potential(params0))
+    x, value, trace, state = lbfgs_minimize(
+        potential, params0, max_iters=30, line_search="armijo", history_size=8
+    )
+    assert float(value) < 0.5 * u0, (float(value), u0)
+    assert np.isfinite(np.asarray(trace)).all()
+
+
+def test_mala_gp_vdp_acceptance():
+    data, static, params0, potential = _setup()
+    kernel = samplers.mala(potential, step_size=2e-6)
+    states = samplers.init_chains(kernel, jax.random.PRNGKey(3), params0, 4,
+                                  jitter=0.01)
+    _, positions, infos = samplers.sample_chains(
+        kernel, states, jax.random.split(jax.random.PRNGKey(4), 4),
+        num_samples=30, burn_in=20,
+    )
+    acc = float(jnp.mean(infos["accepted"].astype(jnp.float32)))
+    assert acc > 0.2, acc

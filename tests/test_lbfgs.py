@@ -1,0 +1,119 @@
+"""L-BFGS gates: two-loop recursion vs dense inverse-Hessian build,
+curvature rejection/damping, line-search convergence on standard problems.
+The reference has no optimizer tests (SURVEY.md §4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesian_ode_tpu.optim import (
+    curvature_update,
+    lbfgs_init,
+    lbfgs_minimize,
+    lbfgs_step,
+    two_loop_recursion,
+)
+
+
+def rosenbrock(x):
+    return jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2 + (1.0 - x[:-1]) ** 2)
+
+
+def quadratic_problem(P=8, seed=0):
+    rng = np.random.RandomState(seed)
+    A = rng.randn(P, P)
+    A = A @ A.T + P * np.eye(P)
+    b = rng.randn(P)
+    Aj, bj = jnp.asarray(A), jnp.asarray(b)
+    return lambda x: 0.5 * x @ Aj @ x - bj @ x, A, b
+
+
+def test_two_loop_matches_dense_inverse_hessian():
+    # Insert (s, y) pairs and compare H @ v with the dense BFGS recursion.
+    rng = np.random.RandomState(0)
+    P, m = 6, 4
+    fn, A, b = quadratic_problem(P)
+    vg = jax.value_and_grad(fn)
+    state, _ = lbfgs_init(vg, jnp.asarray(rng.randn(P)), history_size=m)
+
+    H = np.eye(P)
+    first = True
+    for k in range(m):
+        s = rng.randn(P)
+        y = A @ s  # exact curvature: y = A s, s'y > 0
+        rho = 1.0 / (s @ y)
+        E = np.eye(P) - rho * np.outer(s, y)
+        if first:
+            H = (s @ y) / (y @ y) * np.eye(P)
+            first = False
+        H = E @ H @ E.T + rho * np.outer(s, s)
+        state = state._replace(
+            s_buf=state.s_buf.at[:-1].set(state.s_buf[1:]).at[-1].set(s),
+            y_buf=state.y_buf.at[:-1].set(state.y_buf[1:]).at[-1].set(y),
+            valid=state.valid.at[:-1].set(state.valid[1:]).at[-1].set(True),
+            h_diag=jnp.asarray((s @ y) / (y @ y)),
+        )
+    v = jnp.asarray(rng.randn(P))
+    Hv = two_loop_recursion(state, v)
+    # dense reference recomputed with the same H_diag convention: H0 fixed
+    # from the most recent pair (standard L-BFGS), rebuild explicitly
+    sbuf = np.asarray(state.s_buf)
+    ybuf = np.asarray(state.y_buf)
+    h0 = float(state.h_diag)
+    Hd = h0 * np.eye(P)
+    for s, y in zip(sbuf, ybuf):
+        rho = 1.0 / (s @ y)
+        E = np.eye(P) - rho * np.outer(s, y)
+        Hd = E @ Hd @ E.T + rho * np.outer(s, s)
+    np.testing.assert_allclose(np.asarray(Hv), Hd @ np.asarray(v), rtol=1e-9)
+
+
+def test_curvature_rejection_and_damping():
+    fn, A, b = quadratic_problem()
+    vg = jax.value_and_grad(fn)
+    state, _ = lbfgs_init(vg, jnp.zeros(8), history_size=3)
+    # fabricate a failed-curvature scenario with s'Bs > 0 but y's < eps*s'Bs:
+    # s = d*t = ones, Bs = -t*prev_grad = ones, y = grad - prev_grad = -0.1.
+    prev = -jnp.ones(8)
+    grad = prev - 0.1
+    state = state._replace(
+        n_iter=jnp.asarray(1, jnp.int32),
+        d=jnp.ones(8), t=jnp.asarray(1.0), prev_grad=prev,
+    )
+    rejected = curvature_update(state, grad, eps=1e-2, damping=False)
+    assert int(rejected.curv_skips) == 1
+    assert not bool(rejected.valid[-1])
+    damped = curvature_update(state, grad, eps=1e-2, damping=True)
+    assert bool(damped.valid[-1])  # Powell damping always inserts
+    # damped pair satisfies y's = eps*s'Bs > 0 (LBFGS.py:385-389)
+    s = damped.s_buf[-1]
+    y = damped.y_buf[-1]
+    np.testing.assert_allclose(float(jnp.dot(s, y)), 1e-2 * 8.0, rtol=1e-9)
+
+
+@pytest.mark.parametrize("line_search", ["none", "armijo", "wolfe"])
+def test_quadratic_convergence(line_search):
+    fn, A, b = quadratic_problem()
+    x_star = np.linalg.solve(A, b)
+    lr = 0.1 if line_search == "none" else 1.0
+    iters = 400 if line_search == "none" else 60
+    x, value, trace, state = lbfgs_minimize(
+        fn, jnp.zeros(8), max_iters=iters, line_search=line_search, lr=lr
+    )
+    np.testing.assert_allclose(np.asarray(x), x_star, atol=1e-4)
+
+
+@pytest.mark.parametrize("line_search", ["armijo", "wolfe"])
+def test_rosenbrock_convergence(line_search):
+    x, value, trace, state = lbfgs_minimize(
+        rosenbrock, jnp.zeros(6), max_iters=200, line_search=line_search,
+        history_size=10,
+    )
+    assert float(value) < 1e-8, value
+    np.testing.assert_allclose(np.asarray(x), np.ones(6), atol=1e-3)
+
+
+def test_minimize_under_jit():
+    fn, A, b = quadratic_problem()
+    run = jax.jit(lambda x0: lbfgs_minimize(fn, x0, max_iters=40)[1])
+    assert float(run(jnp.zeros(8))) < float(fn(jnp.zeros(8)))
