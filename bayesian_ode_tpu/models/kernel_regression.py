@@ -92,6 +92,18 @@ def vector_field(params, static: GPVectorFieldStatic, t, X):
     return T @ params["U"]
 
 
+def precompute_weights(params, static: GPVectorFieldStatic) -> jax.Array:
+    """A = (Kzz^{-1} L) U, constant across a solve — hoisting it halves the
+    per-RHS matmul work (the reference recomputes K(X,Z) Kzz^{-1}L U every
+    evaluation, gp.py:69-71)."""
+    return static.KzzinvL @ params["U"]
+
+
+def vector_field_fast(A, static: GPVectorFieldStatic, t, X):
+    """f(X) = K(X, Z) A with precomputed A (M^2, D)."""
+    return rbf(X, static.Z, static.sf, static.ell) @ A
+
+
 def make_potential(static: GPVectorFieldStatic, x0, t, Y,
                    odeint_fn: Callable, add_prior: bool = True) -> Callable:
     """Negative log posterior of the GP-ODE model (gp.py:342-353):
@@ -112,8 +124,9 @@ def make_potential(static: GPVectorFieldStatic, x0, t, Y,
     numel = Y.size
 
     def potential(params):
+        A = precompute_weights(params, static)
         xode = odeint_fn(
-            lambda tt, X: vector_field(params, static, tt, X), x0, t
+            lambda tt, X: vector_field_fast(A, static, tt, X), x0, t
         )
         xode = jnp.moveaxis(xode, 0, 1)  # (T, N, 2) -> (N, T, 2)
         if not add_prior:

@@ -1,0 +1,17 @@
+"""Device-mesh parallelism (chain data-parallel + particle-parallel SVGD)."""
+from .chains import (  # noqa: F401
+    run_svgd_sharded,
+    sample_chains_sharded,
+    svgd_step_sharded,
+)
+from .mesh import make_mesh, make_mesh_2d, replicated, shard_leading_axis  # noqa: F401
+
+__all__ = [
+    "make_mesh",
+    "make_mesh_2d",
+    "replicated",
+    "run_svgd_sharded",
+    "sample_chains_sharded",
+    "shard_leading_axis",
+    "svgd_step_sharded",
+]

@@ -1,0 +1,102 @@
+"""Sharded multi-chain sampling and multi-chip SVGD.
+
+Chains are collective-free: `sample_chains_sharded` jits the vmapped chain
+scan with the chain axis sharded over the mesh — XLA partitions the batch
+with zero communication (the TPU replacement for the reference's
+process-pool fan-out, gp.py:563-564).
+
+SVGD is the one genuinely communicating algorithm (all-pairs kernel): the
+sharded step keeps particles distributed over the 'particle' axis,
+`all_gather`s positions and scores over ICI, and computes each device's
+(n_local, n) kernel tile locally (SURVEY.md §2.9).  The median-heuristic
+bandwidth is computed from the full gathered distance matrix, so sharded
+and single-chip runs are numerically identical.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..samplers import sample_chains
+from ..samplers.base import TransitionKernel
+from ..samplers.stein import pairwise_sq_dists
+from .mesh import shard_leading_axis
+
+
+def sample_chains_sharded(kernel: TransitionKernel, states, keys,
+                          num_samples: int, mesh: Mesh, burn_in: int = 0,
+                          thin: int = 1, axis: str = "chain"):
+    """`samplers.sample_chains` with the chain axis sharded over `mesh`.
+
+    states/keys must have a leading chain axis divisible by the mesh size.
+    """
+    states = shard_leading_axis(states, mesh, axis)
+    keys = shard_leading_axis(keys, mesh, axis)
+
+    fn = jax.jit(
+        lambda s, k: sample_chains(kernel, s, k, num_samples, burn_in, thin)
+    )
+    return fn(states, keys)
+
+
+def _local_svgd_phi(p_local, s_all, p_all, axis: str,
+                    sigma: Optional[float]):
+    """This device's rows of phi(X) from gathered positions/scores."""
+    n = p_all.shape[0]
+    n_local = p_local.shape[0]
+    d2_local = pairwise_sq_dists(p_local, p_all)        # (n_local, n)
+    if sigma is None:
+        # exact global median via the full gathered matrix (identical to
+        # the single-chip stein.rbf_kernel semantics)
+        d2_full = pairwise_sq_dists(p_all, p_all)
+        h = jnp.median(d2_full) / (2.0 * jnp.log(n + 1.0))
+        gamma = 1.0 / (1e-8 + 2.0 * h)
+    else:
+        gamma = 1.0 / (1e-8 + 2.0 * jnp.asarray(sigma) ** 2)
+    K_local = jnp.exp(-gamma * d2_local)
+    ksum = jnp.sum(K_local, axis=1)
+    grad_K = 2.0 * gamma * (p_local * ksum[:, None] - K_local @ p_all)
+    return (K_local @ s_all + grad_K) / n
+
+
+def run_svgd_sharded(potential_fn: Callable, particles, lr, num_steps: int,
+                     mesh: Mesh, axis: str = "particle",
+                     sigma: Optional[float] = None):
+    """Scan `num_steps` sharded SVGD updates in one jitted program.
+
+    particles: (n, P) with n divisible by the mesh axis size.  Per step,
+    each device computes local scores, all-gathers positions + scores over
+    the `axis` (ICI), and applies its local rows of phi.
+    """
+    grad_fn = jax.grad(potential_fn)
+
+    def local_run(p_local):
+        def body(p_local, _):
+            scores_local = -jax.vmap(grad_fn)(p_local)
+            p_all = jax.lax.all_gather(p_local, axis, tiled=True)
+            s_all = jax.lax.all_gather(scores_local, axis, tiled=True)
+            phi = _local_svgd_phi(p_local, s_all, p_all, axis, sigma)
+            return p_local + lr * phi, None
+
+        p_local, _ = jax.lax.scan(body, p_local, None, length=num_steps)
+        return p_local
+
+    shard = NamedSharding(mesh, P(axis, None))
+    particles = jax.device_put(particles, shard)
+    run = jax.jit(
+        jax.shard_map(
+            local_run, mesh=mesh, in_specs=P(axis, None),
+            out_specs=P(axis, None),
+        )
+    )
+    return run(particles)
+
+
+def svgd_step_sharded(potential_fn: Callable, particles, lr, mesh: Mesh,
+                      axis: str = "particle",
+                      sigma: Optional[float] = None):
+    """One sharded SVGD update (see run_svgd_sharded)."""
+    return run_svgd_sharded(potential_fn, particles, lr, 1, mesh, axis, sigma)

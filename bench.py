@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""Headline benchmark (BASELINE.md north star): RHS evals/sec/chip for
+dopri5 on the Van der Pol GP posterior, plus effective samples/sec of
+parallel SGLD chains (rk4 + continuous adjoint, the reference's sampler
+configuration, gp.py:346/367-370).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+vs_baseline is the speedup over a single-chain run on one CPU core — the
+reference's deployment unit (1 chain per CPU process, SLURM array;
+SURVEY.md §2.9).  The reference publishes no numbers (BASELINE.md), so
+this measured single-chain-CPU rate stands in as the baseline.
+
+Usage: python bench.py [--chains 10000] [--steps 20] [--quick]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def build_problem():
+    from bayesian_ode_tpu.models import kernel_regression as kr
+    from bayesian_ode_tpu.models import make_dataset
+
+    data = make_dataset(jax.random.PRNGKey(2), "vdp", N=5, T=60, t_max=6.0,
+                        noise=0.05, x0_scale=1.5)
+    Z = kr.make_inducing_grid(data["Y"], M=6)
+    static = kr.make_static(Z, sf=1.0, ell=0.75)
+    params0 = kr.init_params(data["Y"], data["t"], static, noise=0.05)
+    return data, static, params0, kr
+
+
+def chain_params(params0, n_chains, key):
+    return jax.tree.map(
+        lambda x: x[None]
+        + 0.01 * jax.random.normal(key, (n_chains,) + x.shape, x.dtype),
+        params0,
+    )
+
+
+def dopri5_forward_throughput(data, static, params0, kr, n_chains, rtol,
+                              atol):
+    """Total dopri5 RHS evals/sec across `n_chains` parallel solves."""
+    from bayesian_ode_tpu import odeint_with_stats
+
+    x0, t = data["x0"], data["t"]
+
+    def solve_one(U):
+        A = static.KzzinvL @ U
+        f = lambda tt, X: kr.vector_field_fast(A, static, tt, X)
+        _, st = odeint_with_stats(f, x0, t, rtol, atol, method="dopri5")
+        return st["nfe"], st["reached_final_time"]
+
+    Us = chain_params(params0, n_chains, jax.random.PRNGKey(0))["U"]
+    run = jax.jit(jax.vmap(solve_one))
+
+    nfe, ok = jax.block_until_ready(run(Us))          # compile + warm
+    t0 = time.perf_counter()
+    nfe, ok = jax.block_until_ready(run(Us))
+    dt = time.perf_counter() - t0
+    total_evals = float(jnp.sum(nfe))
+    return total_evals / dt, dt, float(jnp.mean(nfe)), bool(jnp.all(ok))
+
+
+def sgld_effective_samples(data, static, params0, kr, n_chains, num_samples,
+                           burn_in):
+    """Effective samples/sec of SGLD on the posterior (rk4 + adjoint)."""
+    from bayesian_ode_tpu import odeint_adjoint, samplers
+    from bayesian_ode_tpu.samplers import schedules
+
+    solve = lambda f, x0, t: odeint_adjoint(f, x0, t, method="rk4")
+    potential = kr.make_potential(static, data["x0"], data["t"], data["Y"],
+                                  solve)
+    kernel = samplers.sgld(
+        potential, schedules.polynomial_decay(lr0=1e-5, gamma=0.55, t0=100)
+    )
+    states = samplers.init_chains(kernel, jax.random.PRNGKey(1), params0,
+                                  n_chains, jitter=0.005)
+    keys = jax.random.split(jax.random.PRNGKey(3), n_chains)
+    run = jax.jit(
+        lambda s, k: samplers.sample_chains(kernel, s, k, num_samples,
+                                            burn_in)
+    )
+    _, pos, _ = jax.block_until_ready(run(states, keys))
+    t0 = time.perf_counter()
+    _, pos, _ = jax.block_until_ready(run(states, keys))
+    dt = time.perf_counter() - t0
+    ess0 = float(samplers.ess(pos["logsn"][:, :, 0]))
+    ess1 = float(samplers.ess(pos["logsn"][:, :, 1]))
+    steps = n_chains * (num_samples + burn_in)
+    return (ess0 + ess1) / 2.0 / dt, steps / dt, dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chains", type=int, default=10000)
+    ap.add_argument("--samples", type=int, default=60)
+    ap.add_argument("--burn-in", type=int, default=60)
+    ap.add_argument("--rtol", type=float, default=1e-7)
+    ap.add_argument("--atol", type=float, default=1e-9)
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--_baseline-worker", action="store_true",
+                    dest="baseline_worker", help=argparse.SUPPRESS)
+    args = ap.parse_args()
+    if args.baseline_worker:
+        jax.config.update("jax_platforms", "cpu")
+        data, static, params0, kr = build_problem()
+        rate, _, _, _ = dopri5_forward_throughput(
+            data, static, params0, kr, 1, args.rtol, args.atol
+        )
+        print(rate)
+        return
+    if args.quick:
+        args.chains = min(args.chains, 512)
+        args.samples, args.burn_in = 20, 20
+
+    data, static, params0, kr = build_problem()
+    dev = jax.devices()[0]
+    print(f"# device: {dev}", file=sys.stderr)
+
+    evals_per_sec, fwd_dt, mean_nfe, all_ok = dopri5_forward_throughput(
+        data, static, params0, kr, args.chains, args.rtol, args.atol
+    )
+    print(
+        f"# dopri5 fwd: {args.chains} chains, {fwd_dt:.3f}s, mean NFE "
+        f"{mean_nfe:.0f}, reached={all_ok}", file=sys.stderr,
+    )
+
+    eff_sps, sgld_sps, sgld_dt = sgld_effective_samples(
+        data, static, params0, kr, args.chains, args.samples, args.burn_in
+    )
+    print(f"# sgld: {sgld_sps:.0f} steps/s, {sgld_dt:.2f}s", file=sys.stderr)
+
+    # Baseline: one chain on one CPU core (the reference's deployment
+    # unit), measured in a subprocess with a forced-CPU jax backend
+    # (initializing a second backend in-process hangs under this
+    # environment's TPU platform plugin).
+    vs_baseline = None
+    if not args.skip_baseline:
+        import os
+        import subprocess
+
+        try:
+            env = dict(os.environ)
+            # Strip the TPU platform plugin: its sitecustomize would hang
+            # claiming the chip the parent process holds.
+            env["PYTHONPATH"] = ":".join(
+                p for p in (env.get("PYTHONPATH", "").split(":")
+                            + [os.path.dirname(os.path.abspath(__file__))])
+                if p and ".axon_site" not in p
+            )
+            env["JAX_PLATFORMS"] = "cpu"
+            out = subprocess.run(
+                [sys.executable, __file__, "--_baseline-worker",
+                 "--rtol", str(args.rtol), "--atol", str(args.atol)],
+                capture_output=True, text=True, timeout=600, env=env,
+            )
+            cpu_rate = float(out.stdout.strip().splitlines()[-1])
+            vs_baseline = evals_per_sec / cpu_rate
+            print(f"# cpu single-chain baseline: {cpu_rate:.0f} evals/s",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"# baseline skipped: {e}", file=sys.stderr)
+    if vs_baseline is None:
+        vs_baseline = 1.0
+
+    print(json.dumps({
+        "metric": "dopri5_rhs_evals_per_sec_per_chip",
+        "value": round(evals_per_sec, 1),
+        "unit": "RHS evals/s",
+        "vs_baseline": round(vs_baseline, 2),
+        "chains": args.chains,
+        "mean_nfe_per_solve": round(mean_nfe, 1),
+        "rtol": args.rtol,
+        "sgld_steps_per_sec": round(sgld_sps, 1),
+        "effective_samples_per_sec": round(eff_sps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
