@@ -1,0 +1,54 @@
+"""Experiment CLI: `python -m bayesian_ode_tpu.experiments.run
+--json-dir DIR --id N [--experiment vanderpol|toy]`.
+
+Same invocation pattern as the reference drivers (gp.py:529-541,
+toy_plots.py:405-417): a JSON config selected by integer id; the
+multiprocessing fan-out is replaced by vmapped chains inside the worker.
+Dataset regeneration replaces the reference's data pickle: the config's
+"data" block carries {ode, N, T, t_max, noise, seed}.
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+from ..models import make_dataset
+from .config import load_config
+from .toy import run_toy
+from .vanderpol_gp import worker
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json-dir", required=True)
+    ap.add_argument("--id", type=int, required=True)
+    ap.add_argument("--experiment", default="vanderpol",
+                    choices=["vanderpol", "toy"])
+    ap.add_argument("--no-plots", action="store_true")
+    args = ap.parse_args(argv)
+
+    blob = load_config(args.json_dir, args.id)
+    output = blob["output"]
+
+    if args.experiment == "toy":
+        for cfg in blob["configs"]:
+            print(run_toy(cfg, output, make_plots=not args.no_plots))
+        return
+
+    dspec = blob.get("data", {})
+    data = make_dataset(
+        jax.random.PRNGKey(dspec.get("seed", 0)),
+        ode=dspec.get("ode", "vdp"),
+        N=dspec.get("N", 5),
+        T=dspec.get("T", 60),
+        t_max=dspec.get("t_max", 6.0),
+        noise=dspec.get("noise", 0.05),
+        x0_scale=dspec.get("x0_scale", 1.5),
+    )
+    for cfg in blob["configs"]:
+        print(worker(cfg, data, output))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,300 @@
+"""Bayesian nonparametric GP-ODE experiment driver (Van der Pol / FHN / LV).
+
+TPU-native re-design of scripts/vanderpol/gp.py: where the reference fans a
+config out to `multiprocessing.Pool` workers each running ONE chain
+(gp.py:510-564), this driver runs `num_chains` vmapped chains in a single
+jitted program, with the same config schema, method dispatch, artifact
+layout ({output}/{method}/{id}{dir_name}/), thinning, posterior-mode and
+posterior-predictive-band plots — plus the ESS/R-hat diagnostics the
+reference lacks (SURVEY.md §5.5).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import odeint, odeint_adjoint, samplers
+from ..models import DYNAMICS
+from ..models import kernel_regression as kr
+from ..optim import lbfgs_minimize
+from ..samplers import schedules
+from ..utils.checkpoint import save_pytree
+from ..utils.logging import RunLogger
+
+
+def _out_dir(output: str, config: Dict) -> str:
+    d = os.path.join(output, str(config["method"]),
+                     str(config.get("id", 0)) + config.get("dir_name", ""))
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def build_model(config: Dict, data: Dict):
+    """Grid + static kernel quantities + gradient-matched init + potential
+    (gp.py:305-353)."""
+    Z = kr.make_inducing_grid(data["Y"], M=config["M"])
+    static = kr.make_static(Z, sf=config["sf"], ell=config["ell"])
+    params0 = kr.init_params(data["Y"], data["t"], static,
+                             noise=config.get("noise", data["noise"]))
+    solve = lambda f, x0, t: odeint_adjoint(f, x0, t, method="rk4")
+    potential = kr.make_potential(static, data["x0"], data["t"], data["Y"],
+                                  solve)
+    sq_err = kr.make_potential(static, data["x0"], data["t"], data["Y"],
+                               solve, add_prior=False)
+    return static, params0, potential, sq_err
+
+
+def _poly_sched(config):
+    return schedules.polynomial_decay(
+        lr0=config["lr0"], gamma=config["lr_gamma"], t0=config["lr_t0"],
+        alpha=config.get("lr_alpha", 1.0),
+    )
+
+
+def make_sampler(config: Dict, potential: Callable):
+    """Method dispatch (gp.py:360-378, extended with the full suite)."""
+    method = config["method"]
+    total = config["burn_in"] + config["num_samples"]
+    if method == "SGLD":
+        return samplers.sgld(potential, _poly_sched(config))
+    if method == "MALA":
+        return samplers.mala(potential, config["lr"])
+    if method == "pSGLD":
+        return samplers.psgld(potential, _poly_sched(config),
+                              alpha=config["psgld_alpha"],
+                              lambda_=config["lambda_"])
+    if method == "aSGLD":
+        return samplers.asgld(potential, _poly_sched(config),
+                              alpha=config["psgld_alpha"],
+                              lambda_=config["lambda_"])
+    if method == "cSGLD":
+        return samplers.csgld(potential, lr0=config["lr0"],
+                              num_cycles=config.get("num_cycles", 4),
+                              total_iters=total,
+                              beta=config.get("beta", 0.25))
+    if method == "aSGHMC":
+        return samplers.asghmc(potential, config["lr"],
+                               burn_in_steps=config["burn_in"],
+                               mom_decay=config.get("mom_decay", 5e-2),
+                               lambda_=config["lambda_"])
+    if method == "acSGHMC":
+        return samplers.acsghmc(potential, lr0=config["lr0"],
+                                num_cycles=config.get("num_cycles", 4),
+                                total_iters=total,
+                                burn_in_steps=config["burn_in"],
+                                mom_decay=config.get("mom_decay", 5e-2),
+                                lambda_=config["lambda_"])
+    if method == "MMALA":
+        metric = samplers.softabs_metric(
+            potential, softabs_coeff=config.get("softabs_coeff", 1e3)
+        )
+        return samplers.mmala(potential, config["lr"], metric_fn=metric)
+    if method.startswith("HAMCMC"):
+        variant = int(method[-1]) if method[-1].isdigit() else 1
+        return samplers.hamcmc(potential, _poly_sched(config),
+                               memory=config.get("memory", 5),
+                               variant=variant,
+                               trust_reg=config.get("trust_reg", 1.0),
+                               H_gamma=config.get("H_gamma", 1.0))
+    raise ValueError(f"unknown sampler method {method!r}")
+
+
+def run_sampler(config: Dict, data: Dict, output: str,
+                make_plots: bool = True) -> Dict[str, Any]:
+    """Posterior sampling (gp.py:290-507) over vmapped chains."""
+    out_dir = _out_dir(output, config)
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(config, f, indent=2, default=str)
+
+    static, params0, potential, sq_err = build_model(config, data)
+    kernel = make_sampler(config, potential)
+    n_chains = config.get("num_chains", 64)
+
+    states = samplers.init_chains(kernel, jax.random.PRNGKey(config.get("seed", 0)),
+                                  params0, n_chains, jitter=config.get("jitter", 0.005))
+    keys = jax.random.split(jax.random.PRNGKey(config.get("seed", 0) + 1), n_chains)
+    run = jax.jit(
+        lambda s, k: samplers.sample_chains(
+            kernel, s, k, num_samples=config["num_samples"] // config["thinning"],
+            burn_in=config["burn_in"], thin=config["thinning"],
+        )
+    )
+    _, positions, infos = jax.block_until_ready(run(states, keys))
+
+    # losses + diagnostics
+    pots = np.asarray(infos["potential"])             # (chains, samples)
+    logger = RunLogger(os.path.join(out_dir, "run.jsonl"))
+    ess_logsn = [float(samplers.ess(positions["logsn"][:, :, d]))
+                 for d in range(positions["logsn"].shape[-1])]
+    rhat_logsn = [float(samplers.split_rhat(positions["logsn"][:, :, d]))
+                  for d in range(positions["logsn"].shape[-1])]
+    acc = float(jnp.mean(infos["accepted"].astype(jnp.float32))) \
+        if "accepted" in infos else 1.0
+    summary = {
+        "event": "summary", "method": config["method"],
+        "num_chains": n_chains, "kept_samples": pots.shape[1],
+        "min_potential": float(pots.min()),
+        "median_potential": float(np.median(pots[:, -1])),
+        "acceptance": acc, "ess_logsn": ess_logsn, "rhat_logsn": rhat_logsn,
+    }
+    logger.log(summary)
+    logger.close()
+
+    save_pytree(os.path.join(out_dir, "chain.npz"),
+                jax.tree.map(np.asarray, positions))
+    np.save(os.path.join(out_dir, "total_loss_arr.npy"), pots)
+
+    if make_plots:
+        _plots_sampler(out_dir, config, data, static, positions, pots)
+    return summary
+
+
+def _plots_sampler(out_dir, config, data, static, positions, pots):
+    """Loss curves, posterior-mode phase plot with quiver of the learned
+    field, posterior predictive mean +/- 5 sigma bands, logsn histogram
+    (gp.py:383-507)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    # loss curves
+    fig, ax = plt.subplots()
+    ax.plot(np.median(pots, axis=0))
+    ax.set_xlabel("Kept sample")
+    ax.set_ylabel("Negative log posterior (median over chains)")
+    fig.savefig(os.path.join(out_dir, "post.pdf"))
+    plt.close(fig)
+
+    # posterior-mode phase plot with learned-field quiver (gp.py:419-438)
+    ci, si = np.unravel_index(np.argmin(pots), pots.shape)
+    mode = {"U": jnp.asarray(positions["U"][ci, si]),
+            "logsn": jnp.asarray(positions["logsn"][ci, si])}
+    lo = np.asarray(data["Y"]).reshape(-1, 2).min(0) - 0.5
+    hi = np.asarray(data["Y"]).reshape(-1, 2).max(0) + 0.5
+    gx, gy = np.meshgrid(np.linspace(lo[0], hi[0], 15),
+                         np.linspace(lo[1], hi[1], 15))
+    grid_pts = jnp.asarray(np.stack([gx.ravel(), gy.ravel()], 1))
+    field = np.asarray(kr.vector_field(mode, static, 0.0, grid_pts))
+    fig, ax = plt.subplots(figsize=(6, 5))
+    ax.quiver(gx, gy, field[:, 0].reshape(gx.shape),
+              field[:, 1].reshape(gx.shape), alpha=0.6)
+    for traj in np.asarray(data["Y"]):
+        ax.plot(traj[:, 0], traj[:, 1], ".", ms=2)
+    ax.set_title(f"posterior mode field ({config['method']})")
+    fig.savefig(os.path.join(out_dir, "phase_mode.pdf"))
+    plt.close(fig)
+
+    # posterior predictive bands: re-solve for a subsample of chain draws
+    # from fresh random x0 (gp.py:441-501) — vmapped instead of a Python
+    # loop over the chain.
+    rng = np.random.RandomState(0)
+    x0_ = jnp.asarray(2.0 * 1.0 * rng.uniform(size=(3, 2)) - 1.0)
+    t_ = jnp.linspace(0.0, 14.0, 80)
+    n_draws = min(64, pots.size)
+    flat_U = positions["U"].reshape(-1, *positions["U"].shape[2:])
+    idx = rng.choice(flat_U.shape[0], n_draws, replace=False)
+
+    def solve_draw(U):
+        A = static.KzzinvL @ U
+        f = lambda tt, X: kr.vector_field_fast(A, static, tt, X)
+        return odeint(f, x0_, t_, method="rk4")           # (T, 3, 2)
+
+    sols = np.asarray(jax.vmap(solve_draw)(jnp.asarray(flat_U[idx])))
+    mean, std = sols.mean(0), sols.std(0)
+    ode_fn = DYNAMICS[str(data.get("ODE", "vdp")).lower()]
+    real = np.asarray(odeint(ode_fn, x0_, t_, method="dopri5"))
+    fig, axes = plt.subplots(ncols=3, figsize=(15, 3))
+    tn = np.asarray(t_)
+    for i in range(3):
+        axes[i].plot(tn, real[:, i, 0], "-", color="r", label="Position(real)")
+        axes[i].fill_between(tn, mean[:, i, 0] - 5 * std[:, i, 0],
+                             mean[:, i, 0] + 5 * std[:, i, 0], alpha=0.3)
+        axes[i].plot(tn, mean[:, i, 0], "--", label="Position(mean)")
+        axes[i].legend(fontsize=6)
+    fig.savefig(os.path.join(out_dir, "predictive_bands.pdf"))
+    plt.close(fig)
+
+    # logsn histogram (gp.py:503-507)
+    fig, ax = plt.subplots()
+    ax.hist(np.asarray(positions["logsn"]).reshape(-1, 2), bins=30,
+            label=["logsn_x", "logsn_y"])
+    ax.legend()
+    fig.savefig(os.path.join(out_dir, "logsn_hist.pdf"))
+    plt.close(fig)
+
+
+def run_optim(config: Dict, data: Dict, output: str) -> Dict[str, Any]:
+    """MAP optimization (gp.py:74-287): optimizer zoo via optax + our
+    L-BFGS, lr/momentum schedules lr/(1+decay*itr) (gp.py:170-178)."""
+    import optax
+
+    out_dir = _out_dir(output, config)
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(config, f, indent=2, default=str)
+
+    static, params0, potential, sq_err = build_model(config, data)
+    method = config["method"]
+    n_iters = config["num_iters"]
+
+    if "LBFGS" in method:
+        x, value, trace, _ = lbfgs_minimize(
+            potential, params0, max_iters=n_iters,
+            line_search=config.get("line_search", "armijo"),
+            history_size=config.get("history_size", 10), lr=config["lr"],
+        )
+        losses = np.asarray(trace)
+    else:
+        lr0 = config["lr"]
+        decay = config.get("lr_decay", 0.0)
+        sched = (lambda step: lr0 / (1 + decay * step)) if decay else lr0
+        if method == "Adam":
+            tx = optax.adam(sched)
+        elif "nag" in method:
+            tx = optax.chain(optax.clip_by_global_norm(config.get("clip", 10.0)),
+                             optax.sgd(sched, momentum=0.5, nesterov=True))
+        elif "SGD" in method:
+            tx = optax.chain(optax.clip_by_global_norm(config.get("clip", 10.0)),
+                             optax.sgd(sched, momentum=config.get("mom")))
+        elif "RMSprop" in method:
+            tx = optax.rmsprop(sched, decay=config.get("rmsprop_alpha", 0.99))
+        elif "Adadelta" in method:
+            tx = optax.adadelta(sched, rho=config.get("adadelta_rho", 0.9))
+        else:
+            raise ValueError(f"unknown optimizer method {method!r}")
+
+        vg = jax.value_and_grad(potential)
+
+        def step(carry, _):
+            params, opt_state = carry
+            v, g = vg(params)
+            updates, opt_state = tx.update(g, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), v
+
+        (x, _), losses = jax.lax.scan(
+            step, (params0, tx.init(params0)), None, length=n_iters
+        )
+        value = losses[-1]
+        losses = np.asarray(losses)
+
+    np.save(os.path.join(out_dir, "total_loss_arr.npy"), losses)
+    with RunLogger(os.path.join(out_dir, "run.jsonl")) as logger:
+        logger.log({"event": "summary", "method": method,
+                    "final_loss": float(value),
+                    "best_loss": float(np.min(losses))})
+    save_pytree(os.path.join(out_dir, "map_params.npz"),
+                jax.tree.map(np.asarray, x))
+    return {"final_loss": float(value), "best_loss": float(np.min(losses))}
+
+
+def worker(config: Dict, data: Dict, output: str) -> Dict[str, Any]:
+    """Route by inf_type (gp.py:510-527)."""
+    if config.get("inf_type") == "optim":
+        return run_optim(config, data, output)
+    return run_sampler(config, data, output)

@@ -24,15 +24,24 @@ def error_ratio(y1_error: PyTree, rtol, atol, y0: PyTree, y1: PyTree):
     used for control is the max over leaves.  For single-array state this is
     exactly the reference's mean-square ratio (misc.py:146-157 with the
     accept test at dopri5.py:110-111 and max-reduction at misc.py:161).
+
+    TPU f32 addition: the tolerance is floored at a few ulps of the state
+    magnitude.  Below that floor the error *estimate* is pure rounding
+    noise of the stage combination, and the controller would otherwise
+    collapse dt trying to resolve it (measured: ~170x NFE inflation for
+    rtol=1e-7 in f32 on the Van der Pol GP field).  In f64 the floor
+    (~1e-14 * |y|) sits far beneath every tested tolerance, so the strict
+    CPU accuracy gates are unaffected.
     """
-    ratios = jax.tree.map(
-        lambda e, a, b: jnp.mean(
-            jnp.square(e / (atol + rtol * jnp.maximum(jnp.abs(a), jnp.abs(b))))
-        ),
-        y1_error,
-        y0,
-        y1,
-    )
+
+    def leaf_ratio(e, a, b):
+        mag = jnp.maximum(jnp.abs(a), jnp.abs(b))
+        tol = atol + rtol * mag
+        ulps = 32.0 * jnp.finfo(e.dtype).eps
+        tol = jnp.maximum(tol, ulps * mag)
+        return jnp.mean(jnp.square(e / tol))
+
+    ratios = jax.tree.map(leaf_ratio, y1_error, y0, y1)
     leaves = jax.tree.leaves(ratios)
     out = leaves[0]
     for r in leaves[1:]:

@@ -1,0 +1,114 @@
+"""Experiment-driver gates: config grids, sampler/optim workers, toy
+runner, artifacts on disk, checkpoint round-trip."""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesian_ode_tpu.experiments import (
+    expand_grid,
+    load_config,
+    run_optim,
+    run_sampler,
+    run_toy,
+    worker,
+    write_configs,
+)
+from bayesian_ode_tpu.models import make_dataset
+from bayesian_ode_tpu.utils.checkpoint import load_pytree, save_pytree
+
+
+@pytest.fixture(scope="module")
+def tiny_data():
+    return make_dataset(jax.random.PRNGKey(0), "vdp", N=2, T=12, t_max=3.0,
+                        noise=0.1, x0_scale=1.0)
+
+
+def tiny_config(method, inf_type="sampler", **kw):
+    cfg = {
+        "method": method, "inf_type": inf_type, "id": 1, "M": 3, "sf": 1.0,
+        "ell": 0.75, "noise": 0.1, "burn_in": 5, "num_samples": 10,
+        "thinning": 2, "chain_start": 0, "num_chains": 4, "lr": 1e-5,
+        "lr0": 1e-5, "lr_gamma": 0.51, "lr_t0": 100, "lr_alpha": 1.0,
+        "psgld_alpha": 0.99, "lambda_": 1e-8, "num_iters": 5,
+    }
+    cfg.update(kw)
+    return cfg
+
+
+def test_expand_grid_and_config_io(tmp_path):
+    configs = expand_grid("SGLD", {"lr0": [1e-3, 1e-4], "M": [4, 6]})
+    assert len(configs) == 4
+    assert all(c["method"] == "SGLD" for c in configs)
+    assert "_M4" in configs[0]["dir_name"] or "_M6" in configs[0]["dir_name"]
+    n = write_configs(configs, str(tmp_path / "json"), str(tmp_path / "out"),
+                      data={"ode": "vdp"})
+    assert n == 4
+    blob = load_config(str(tmp_path / "json"), 2)
+    assert blob["configs"][0]["id"] == 2
+
+
+@pytest.mark.parametrize("method", ["SGLD", "pSGLD", "MALA", "aSGHMC"])
+def test_run_sampler_methods(tmp_path, tiny_data, method):
+    cfg = tiny_config(method)
+    summary = run_sampler(cfg, tiny_data, str(tmp_path), make_plots=False)
+    assert np.isfinite(summary["min_potential"])
+    out_dir = tmp_path / method / "1"
+    assert (out_dir / "chain.npz").exists()
+    assert (out_dir / "run.jsonl").exists()
+    rec = json.loads((out_dir / "run.jsonl").read_text().splitlines()[-1])
+    assert rec["event"] == "summary"
+
+
+def test_run_sampler_plots(tmp_path, tiny_data):
+    cfg = tiny_config("SGLD")
+    run_sampler(cfg, tiny_data, str(tmp_path), make_plots=True)
+    out_dir = tmp_path / "SGLD" / "1"
+    for name in ["post.pdf", "phase_mode.pdf", "predictive_bands.pdf",
+                 "logsn_hist.pdf"]:
+        assert (out_dir / name).exists(), name
+
+
+@pytest.mark.parametrize("method", ["Adam", "LBFGS", "SGD", "RMSprop",
+                                    "Adadelta"])
+def test_run_optim_methods(tmp_path, tiny_data, method):
+    cfg = tiny_config(method, inf_type="optim", lr=1e-3,
+                      line_search="armijo", history_size=4, mom=0.9)
+    out = run_optim(cfg, tiny_data, str(tmp_path))
+    assert np.isfinite(out["final_loss"])
+    assert (tmp_path / method / "1" / "total_loss_arr.npy").exists()
+
+
+def test_worker_routes(tmp_path, tiny_data):
+    out = worker(tiny_config("SGLD"), tiny_data, str(tmp_path))
+    assert "min_potential" in out
+    out = worker(tiny_config("Adam", inf_type="optim", lr=1e-3),
+                 tiny_data, str(tmp_path))
+    assert "final_loss" in out
+
+
+def test_run_toy(tmp_path):
+    cfg = {"method": "MALA", "lr": 1e-2, "burn_in": 50, "num_samples": 200,
+           "num_chains": 8, "id": 0}
+    res = run_toy(cfg, str(tmp_path), dists=("banana", "gauss"),
+                  make_plots=True)
+    assert "banana" in res and "gauss" in res
+    assert 0.0 < res["banana"]["acceptance"] <= 1.0
+    # gauss target mean is (2, 4)
+    assert abs(res["gauss"]["mean"][0] - 2.0) < 0.5
+    assert abs(res["gauss"]["mean"][1] - 4.0) < 0.7
+    assert (tmp_path / "MALA" / "0_densities.pdf").exists()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {"a": jnp.arange(6).reshape(2, 3), "b": (jnp.ones(4),
+                                                    jnp.zeros(()))}
+    path = str(tmp_path / "ckpt.npz")
+    save_pytree(path, tree)
+    out = load_pytree(path, tree)
+    assert np.array_equal(out["a"], np.asarray(tree["a"]))
+    with pytest.raises(ValueError):
+        load_pytree(path, {"a": tree["a"]})
