@@ -1,5 +1,12 @@
 """ODE vector fields and target densities (reference L4, SURVEY.md §2.4)."""
-from . import kernel_regression, mlp, spiral, toy_densities  # noqa: F401
+from . import (  # noqa: F401
+    kernel_regression,
+    latent_ode,
+    mlp,
+    odenet,
+    spiral,
+    toy_densities,
+)
 from .data import make_dataset  # noqa: F401
 from .dynamics import DYNAMICS, fhn, lv, vdp  # noqa: F401
 from .toy_densities import TOY_POTENTIALS  # noqa: F401
@@ -9,9 +16,11 @@ __all__ = [
     "TOY_POTENTIALS",
     "fhn",
     "kernel_regression",
+    "latent_ode",
     "lv",
     "make_dataset",
     "mlp",
+    "odenet",
     "spiral",
     "toy_densities",
     "vdp",

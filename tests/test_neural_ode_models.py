@@ -1,0 +1,106 @@
+"""Neural-ODE example models: latent ODE VAE and ODEnet classifier."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from bayesian_ode_tpu import odeint, odeint_adjoint
+from bayesian_ode_tpu.models import latent_ode, odenet, spiral
+
+
+def test_latent_ode_elbo_improves():
+    orig, samp, orig_ts, samp_ts = latent_ode.generate_spiral2d(
+        nspiral=32, ntotal=200, nsample=30, noise_std=0.3
+    )
+    samp = jnp.asarray(samp, jnp.float32)
+    ts = jnp.asarray(samp_ts, jnp.float32)
+    params = latent_ode.init_params(jax.random.PRNGKey(0))
+
+    solve = lambda f, z0, t: odeint_adjoint(f, z0, t, rtol=1e-4, atol=1e-6,
+                                            method="dopri5")
+    loss_fn = latent_ode.make_loss(solve, samp, ts, noise_std=0.3)
+
+    tx = optax.adam(5e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        val, g = jax.value_and_grad(loss_fn)(params, key)
+        updates, opt_state = tx.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, val
+
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        params, opt_state, val = step(params, opt_state, sub)
+        losses.append(float(val))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], (losses[0], losses[-1])
+
+
+def test_latent_ode_encode_shapes():
+    params = latent_ode.init_params(jax.random.PRNGKey(0))
+    x = jnp.zeros((7, 25, 2))
+    mu, logvar = latent_ode.encode(params["rec"], x)
+    assert mu.shape == (7, 4) and logvar.shape == (7, 4)
+
+
+def test_odenet_forward_and_training_step():
+    params = odenet.init_params(jax.random.PRNGKey(0), dim=16)
+    key = jax.random.PRNGKey(1)
+    images = jax.random.normal(key, (8, 28, 28, 1))
+    labels = jax.random.randint(jax.random.PRNGKey(2), (8,), 0, 10)
+
+    solve = lambda f, h0, t: odeint(f, h0, t, rtol=1e-3, atol=1e-3,
+                                    method="rk4")
+    logits = odenet.forward(params, images, solve)
+    assert logits.shape == (8, 10)
+
+    loss_fn = odenet.make_loss(solve, images, labels)
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        val, g = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, val
+
+    l0 = None
+    for i in range(10):
+        params, opt_state, val = step(params, opt_state)
+        if l0 is None:
+            l0 = float(val)
+    # overfits the tiny batch
+    assert float(val) < l0
+
+
+def test_spiral_training_converges():
+    # the ode_demo training loop shape (ode_demo.py:160-170), RMSprop on
+    # random sub-trajectory batches
+    t = jnp.linspace(0.0, 25.0, 400)
+    true_y = odeint(spiral.true_field, spiral.TRUE_Y0, t, rtol=1e-7,
+                    atol=1e-9, method="dopri5")
+    params = spiral.init_params(jax.random.PRNGKey(0))
+    tx = optax.rmsprop(1e-3)
+    opt_state = tx.init(params)
+    solve = lambda f, y0, tt: odeint(f, y0, tt, method="rk4")
+
+    @jax.jit
+    def step(params, opt_state, key):
+        by0, bt, by = spiral.get_batch(key, true_y, t, batch_time=10,
+                                       batch_size=16)
+        loss = spiral.make_loss(solve, by0, bt, by)
+        val, g = jax.value_and_grad(loss)(params)
+        updates, opt_state = tx.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, val
+
+    key = jax.random.PRNGKey(3)
+    first = None
+    for i in range(150):
+        key, sub = jax.random.split(key)
+        params, opt_state, val = step(params, opt_state, sub)
+        if first is None:
+            first = float(val)
+    assert float(val) < 0.5 * first, (first, float(val))
