@@ -20,14 +20,23 @@ import jax
 import jax.numpy as jnp
 
 
-def rbf(X1, X2, sf, ell):
-    """K = sf^2 exp(-||x/ell - x'/ell||^2 / 2) (gp.py:41-54)."""
+def rbf(X1, X2, sf, ell, precision=None):
+    """K = sf^2 exp(-||x/ell - x'/ell||^2 / 2) (gp.py:41-54).
+
+    `precision` matters on TPU: matmuls default to bfloat16 passes, whose
+    rounding noise lands in adaptive solvers' error estimates and collapses
+    the step size (measured 45x NFE inflation at rtol=1e-7).  Pass
+    jax.lax.Precision.HIGHEST (or set jax.default_matmul_precision
+    ("float32")) for adaptive solves; the default is fine for fixed-grid
+    rk4 + SG-MCMC throughput runs, which tolerate gradient noise.
+    """
     X1 = X1 / ell
     X2 = X2 / ell
+    cross = jnp.matmul(X1, X2.T, precision=precision)
     d2 = (
         jnp.sum(X1**2, -1)[..., :, None]
         + jnp.sum(X2**2, -1)[..., None, :]
-        - 2.0 * X1 @ X2.T
+        - 2.0 * cross
     )
     return sf**2 * jnp.exp(-d2 / 2.0)
 
@@ -99,9 +108,13 @@ def precompute_weights(params, static: GPVectorFieldStatic) -> jax.Array:
     return static.KzzinvL @ params["U"]
 
 
-def vector_field_fast(A, static: GPVectorFieldStatic, t, X):
-    """f(X) = K(X, Z) A with precomputed A (M^2, D)."""
-    return rbf(X, static.Z, static.sf, static.ell) @ A
+def vector_field_fast(A, static: GPVectorFieldStatic, t, X, precision=None):
+    """f(X) = K(X, Z) A with precomputed A (M^2, D); see rbf() on the
+    `precision` choice."""
+    return jnp.matmul(
+        rbf(X, static.Z, static.sf, static.ell, precision), A,
+        precision=precision,
+    )
 
 
 def make_potential(static: GPVectorFieldStatic, x0, t, Y,

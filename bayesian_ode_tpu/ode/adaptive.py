@@ -90,7 +90,11 @@ def _stages_interp_eval(coeff, t0, t1, t):
     theta = jnp.where(t1 == t0, jnp.zeros_like(t), (t - t0) / denom)
     bs = tsit5_interp_coeffs(theta)
     return jax.tree.map(
-        lambda y, *ks: y + dt * sum(b * k_ for b, k_ in zip(bs, ks)), y0, *k
+        lambda y, *ks: y
+        + jnp.asarray(dt).astype(y.dtype)
+        * sum(b.astype(y.dtype) * k_ for b, k_ in zip(bs, ks)),
+        y0,
+        *k,
     )
 
 

@@ -155,13 +155,17 @@ def integrate_abm(func: Callable, y0: PyTree, ts: jax.Array, rtol: float = 1e-3,
         def abm_branch(operand):
             y, fbuf, order = operand
             w_ab = jnp.take(bash, order, axis=0)
-            dy = jax.tree.map(lambda inc: dt * inc, _weighted_history(w_ab, fbuf))
+            dy = jax.tree.map(
+                lambda inc: dt.astype(inc.dtype) * inc,
+                _weighted_history(w_ab, fbuf),
+            )
             if not implicit:
                 return dy, order, jnp.asarray(False), jnp.asarray(1, jnp.int32)
 
             w_am = jnp.take(mrest, order + 1, axis=0)
             delta = jax.tree.map(
-                lambda inc: dt * inc, _weighted_history(w_am, fbuf)
+                lambda inc: dt.astype(inc.dtype) * inc,
+                _weighted_history(w_am, fbuf),
             )
             lead = jnp.take(m0, order + 1)
 
@@ -173,7 +177,10 @@ def integrate_abm(func: Callable, y0: PyTree, ts: jax.Array, rtol: float = 1e-3,
                 dy, it, converged, evals = state
                 f = func(t1, jax.tree.map(lambda a, b: a + b, y, dy))
                 dy_new = jax.tree.map(
-                    lambda f_, d_: dt * lead * f_ + d_, f, delta
+                    lambda f_, d_: dt.astype(f_.dtype) * lead.astype(f_.dtype)
+                    * f_ + d_,
+                    f,
+                    delta,
                 )
                 return (
                     dy_new,

@@ -19,13 +19,17 @@ from ..utils.pytree import PyTree
 from .runge_kutta import rk4_alt_step
 
 
+def _cast(c, like):
+    return jnp.asarray(c).astype(like.dtype)
+
+
 def euler_step(func, t, dt, y):
-    return jax.tree.map(lambda f_: dt * f_, func(t, y)), 1
+    return jax.tree.map(lambda f_: _cast(dt, f_) * f_, func(t, y)), 1
 
 
 def midpoint_step(func, t, dt, y):
-    y_mid = jax.tree.map(lambda y_, f_: y_ + f_ * dt / 2, y, func(t, y))
-    return jax.tree.map(lambda f_: dt * f_, func(t + dt / 2, y_mid)), 2
+    y_mid = jax.tree.map(lambda y_, f_: y_ + f_ * _cast(dt, f_) / 2, y, func(t, y))
+    return jax.tree.map(lambda f_: _cast(dt, f_) * f_, func(t + dt / 2, y_mid)), 2
 
 
 def rk4_step_fn(func, t, dt, y):

@@ -20,19 +20,25 @@ from ..utils.pytree import PyTree
 def interp_fit(y0: PyTree, y1: PyTree, y_mid: PyTree, f0: PyTree, f1: PyTree,
                dt) -> List[PyTree]:
     """Fit quartic coefficients [a, b, c, d, e] from endpoint/midpoint data."""
+    def _dt(like):
+        return jnp.asarray(dt).astype(like.dtype)
+
     a = jax.tree.map(
-        lambda f0_, f1_, y0_, y1_, ym_: -2 * dt * f0_ + 2 * dt * f1_ - 8 * y0_ - 8 * y1_ + 16 * ym_,
+        lambda f0_, f1_, y0_, y1_, ym_: -2 * _dt(f0_) * f0_ + 2 * _dt(f0_) * f1_
+        - 8 * y0_ - 8 * y1_ + 16 * ym_,
         f0, f1, y0, y1, y_mid,
     )
     b = jax.tree.map(
-        lambda f0_, f1_, y0_, y1_, ym_: 5 * dt * f0_ - 3 * dt * f1_ + 18 * y0_ + 14 * y1_ - 32 * ym_,
+        lambda f0_, f1_, y0_, y1_, ym_: 5 * _dt(f0_) * f0_ - 3 * _dt(f0_) * f1_
+        + 18 * y0_ + 14 * y1_ - 32 * ym_,
         f0, f1, y0, y1, y_mid,
     )
     c = jax.tree.map(
-        lambda f0_, f1_, y0_, y1_, ym_: -4 * dt * f0_ + dt * f1_ - 11 * y0_ - 5 * y1_ + 16 * ym_,
+        lambda f0_, f1_, y0_, y1_, ym_: -4 * _dt(f0_) * f0_ + _dt(f0_) * f1_
+        - 11 * y0_ - 5 * y1_ + 16 * ym_,
         f0, f1, y0, y1, y_mid,
     )
-    d = jax.tree.map(lambda f0_: dt * f0_, f0)
+    d = jax.tree.map(lambda f0_: _dt(f0_) * f0_, f0)
     e = y0
     return [a, b, c, d, e]
 

@@ -43,6 +43,15 @@ class AdaptiveState(NamedTuple):
     n_rejected: jax.Array
 
 
+def _cast(c, like):
+    """Cast a time-dtype scalar into the state leaf dtype (the reference's
+    `.type_as` discipline, rk_common.py:46-48): time stays f64 under x64
+    while f32 states remain f32."""
+    import jax.numpy as jnp
+
+    return jnp.asarray(c).astype(like.dtype)
+
+
 def runge_kutta_step(func: Callable, y0: PyTree, f0: PyTree, t0, dt,
                      tableau: ButcherTableau):
     """One explicit RK step with embedded error estimate.
@@ -54,7 +63,8 @@ def runge_kutta_step(func: Callable, y0: PyTree, f0: PyTree, t0, dt,
     for alpha_i, beta_i in zip(tableau.alpha, tableau.beta):
         ti = t0 + alpha_i * dt
         yi = jax.tree.map(
-            lambda y, *ks: y + dt * sum(b * k_ for b, k_ in zip(beta_i, ks) if b != 0),
+            lambda y, *ks: y + _cast(dt, y)
+            * sum(b * k_ for b, k_ in zip(beta_i, ks) if b != 0),
             y0,
             *k,
         )
@@ -64,13 +74,15 @@ def runge_kutta_step(func: Callable, y0: PyTree, f0: PyTree, t0, dt,
         y1 = yi
     else:
         y1 = jax.tree.map(
-            lambda y, *ks: y + dt * sum(c * k_ for c, k_ in zip(tableau.c_sol, ks) if c != 0),
+            lambda y, *ks: y + _cast(dt, y)
+            * sum(c * k_ for c, k_ in zip(tableau.c_sol, ks) if c != 0),
             y0,
             *k,
         )
     f1 = k[-1]
     y1_error = jax.tree.map(
-        lambda *ks: dt * sum(c * k_ for c, k_ in zip(tableau.c_error, ks) if c != 0),
+        lambda *ks: _cast(dt, ks[0])
+        * sum(c * k_ for c, k_ in zip(tableau.c_error, ks) if c != 0),
         *k,
     )
     return y1, f1, y1_error, k
@@ -80,11 +92,11 @@ def rk4_step(func: Callable, t, dt, y: PyTree, k1: PyTree = None) -> PyTree:
     """Classic RK4 increment dt*(k1+2k2+2k3+k4)/6 (rk_common.py:64-69)."""
     if k1 is None:
         k1 = func(t, y)
-    k2 = func(t + dt / 2, jax.tree.map(lambda y_, k_: y_ + dt * k_ / 2, y, k1))
-    k3 = func(t + dt / 2, jax.tree.map(lambda y_, k_: y_ + dt * k_ / 2, y, k2))
-    k4 = func(t + dt, jax.tree.map(lambda y_, k_: y_ + dt * k_, y, k3))
+    k2 = func(t + dt / 2, jax.tree.map(lambda y_, k_: y_ + _cast(dt, y_) * k_ / 2, y, k1))
+    k3 = func(t + dt / 2, jax.tree.map(lambda y_, k_: y_ + _cast(dt, y_) * k_ / 2, y, k2))
+    k4 = func(t + dt, jax.tree.map(lambda y_, k_: y_ + _cast(dt, y_) * k_, y, k3))
     return jax.tree.map(
-        lambda a, b, c, d: (a + 2 * b + 2 * c + d) * (dt / 6), k1, k2, k3, k4
+        lambda a, b, c, d: (a + 2 * b + 2 * c + d) * (_cast(dt, a) / 6), k1, k2, k3, k4
     )
 
 
@@ -92,23 +104,24 @@ def rk4_alt_step(func: Callable, t, dt, y: PyTree, k1: PyTree = None) -> PyTree:
     """3/8-rule RK4 (smaller error constant; rk_common.py:72-78)."""
     if k1 is None:
         k1 = func(t, y)
-    k2 = func(t + dt / 3, jax.tree.map(lambda y_, a: y_ + dt * a / 3, y, k1))
+    k2 = func(t + dt / 3, jax.tree.map(lambda y_, a: y_ + _cast(dt, y_) * a / 3, y, k1))
     k3 = func(
         t + dt * 2 / 3,
-        jax.tree.map(lambda y_, a, b: y_ + dt * (-a / 3 + b), y, k1, k2),
+        jax.tree.map(lambda y_, a, b: y_ + _cast(dt, y_) * (-a / 3 + b), y, k1, k2),
     )
     k4 = func(
-        t + dt, jax.tree.map(lambda y_, a, b, c: y_ + dt * (a - b + c), y, k1, k2, k3)
+        t + dt, jax.tree.map(lambda y_, a, b, c: y_ + _cast(dt, y_) * (a - b + c), y, k1, k2, k3)
     )
     return jax.tree.map(
-        lambda a, b, c, d: (a + 3 * b + 3 * c + d) * (dt / 8), k1, k2, k3, k4
+        lambda a, b, c, d: (a + 3 * b + 3 * c + d) * (_cast(dt, a) / 8), k1, k2, k3, k4
     )
 
 
 def weighted_stage_sum(dt, weights, k: List[PyTree]) -> PyTree:
     """dt * sum_i weights[i] * k[i] over pytree stages."""
     return jax.tree.map(
-        lambda *ks: dt * sum(w * k_ for w, k_ in zip(weights, ks) if _nonzero(w)),
+        lambda *ks: _cast(dt, ks[0])
+        * sum(w * k_ for w, k_ in zip(weights, ks) if _nonzero(w)),
         *k,
     )
 

@@ -160,7 +160,8 @@ def integrate_vcabm(func: Callable, y0: PyTree, ts: jax.Array, rtol: float,
         w_pred = jnp.where(idxs < pred_len, g[:max_order], 0.0)
         p_next = jax.tree.map(
             lambda y, e: y
-            + dt * jnp.tensordot(w_pred.astype(e.dtype), e, axes=(0, 0)),
+            + dt.astype(e.dtype)
+            * jnp.tensordot(w_pred.astype(e.dtype), e, axes=(0, 0)),
             y0_,
             ephi,
         )
@@ -171,7 +172,9 @@ def integrate_vcabm(func: Callable, y0: PyTree, ts: jax.Array, rtol: float,
         # Implicit corrector: p + dt * g[order-1] * iphi_p[order-1].
         g_om1 = jnp.take(g, order - 1)
         y_next = jax.tree.map(
-            lambda p, ip: p + dt * g_om1 * ip, p_next, _take0(iphi_p, order - 1)
+            lambda p, ip: p + (dt * g_om1).astype(p.dtype) * ip,
+            p_next,
+            _take0(iphi_p, order - 1),
         )
 
         tol = jax.tree.map(
@@ -181,7 +184,10 @@ def integrate_vcabm(func: Callable, y0: PyTree, ts: jax.Array, rtol: float,
         )
         g_o = jnp.take(g, order)
         err_k_leaves = _leaf_sq_ratios(
-            jax.tree.map(lambda ip: dt * (g_o - g_om1) * ip, _take0(iphi_p, order)),
+            jax.tree.map(
+                lambda ip: (dt * (g_o - g_om1)).astype(ip.dtype) * ip,
+                _take0(iphi_p, order),
+            ),
             tol,
         )
         error_k = jnp.max(err_k_leaves)
@@ -200,19 +206,23 @@ def integrate_vcabm(func: Callable, y0: PyTree, ts: jax.Array, rtol: float,
         g_om3 = jnp.take(g, jnp.maximum(order - 3, 0))
         err_km1 = _leaf_sq_ratios(
             jax.tree.map(
-                lambda ip: dt * (g_om1 - g_om2) * ip, _take0(iphi_p, jnp.maximum(order - 1, 0))
+                lambda ip: (dt * (g_om1 - g_om2)).astype(ip.dtype) * ip,
+                _take0(iphi_p, jnp.maximum(order - 1, 0)),
             ),
             tol,
         )
         err_km2 = _leaf_sq_ratios(
             jax.tree.map(
-                lambda ip: dt * (g_om2 - g_om3) * ip, _take0(iphi_p, jnp.maximum(order - 2, 0))
+                lambda ip: (dt * (g_om2 - g_om3)).astype(ip.dtype) * ip,
+                _take0(iphi_p, jnp.maximum(order - 2, 0)),
             ),
             tol,
         )
         err_kp1 = _leaf_sq_ratios(
             jax.tree.map(
-                lambda ip: dt * jnp.take(gamma_star, order) * ip, _take0(iphi_p, order)
+                lambda ip: (dt * jnp.take(gamma_star, order)).astype(ip.dtype)
+                * ip,
+                _take0(iphi_p, order),
             ),
             tol,
         )

@@ -76,13 +76,21 @@ class SVGDState(NamedTuple):
         return self.particles
 
 
-def svgd(potential_fn: Callable, step_size, sigma: Optional[float] = None
+def svgd(potential_fn: Callable, step_size, sigma: Optional[float] = None,
+         use_pallas: str = "auto", median_subsample: int = 2048
          ) -> TransitionKernel:
     """SVGD kernel over a particle ensemble.
 
     `init` takes a pytree template whose leaves have a leading particle
     axis (n, ...); internally particles are flattened to (n, P).  The
     per-particle score is -grad potential_fn (vmapped).
+
+    use_pallas: "auto" switches to the tiled Pallas TPU kernel
+    (ops/pallas_rbf.py) for >= 4096 particles on TPU — it streams the
+    n x n kernel matrix through VMEM tiles instead of materializing it in
+    HBM; with the median bandwidth heuristic, the median is then computed
+    on a `median_subsample` particle subset (exact medians need the full
+    matrix).  "never"/"always" force the choice.
     """
     sched = schedules.resolve(step_size)
 
@@ -98,12 +106,32 @@ def svgd(potential_fn: Callable, step_size, sigma: Optional[float] = None
         unravel_ref[0] = ravel_pytree(jax.tree.map(lambda x: x[0], position))[1]
         return SVGDState(flat, jnp.asarray(0, jnp.int32))
 
+    def _use_pallas(n):
+        if use_pallas == "always":
+            return True
+        if use_pallas == "never":
+            return False
+        return n >= 4096 and jax.default_backend() not in ("cpu",)
+
     def step(key, state):
         lr = sched(state.step)
         unravel = unravel_ref[0]
         grad_fn = jax.grad(lambda v: potential_fn(unravel(v)))
         scores = -jax.vmap(grad_fn)(state.particles)
-        phi = svgd_direction(state.particles, scores, sigma)
+        n = state.particles.shape[0]
+        if _use_pallas(n):
+            from ..ops.pallas_rbf import svgd_phi_pallas
+
+            if sigma is None:
+                sub = state.particles[: min(median_subsample, n)]
+                d2 = pairwise_sq_dists(sub, sub)
+                h = jnp.median(d2) / (2.0 * jnp.log(n + 1.0))
+                gamma = 1.0 / (1e-8 + 2.0 * h)
+            else:
+                gamma = 1.0 / (1e-8 + 2.0 * jnp.asarray(sigma) ** 2)
+            phi = svgd_phi_pallas(state.particles, scores, gamma)
+        else:
+            phi = svgd_direction(state.particles, scores, sigma)
         new_particles = state.particles + lr * phi
         pots = jax.vmap(lambda v: potential_fn(unravel(v)))(new_particles)
         info = {"potential": jnp.mean(pots), "accepted": jnp.asarray(True),

@@ -52,9 +52,14 @@ def dopri5_forward_throughput(data, static, params0, kr, n_chains, rtol,
 
     x0, t = data["x0"], data["t"]
 
+    # Full-f32 matmuls for the adaptive phase: TPU's default bfloat16
+    # matmul passes inject rounding noise into the error estimate and
+    # inflate NFE ~45x at rtol=1e-7 (models/kernel_regression.rbf).
+    prec = jax.lax.Precision.HIGHEST
+
     def solve_one(U):
         A = static.KzzinvL @ U
-        f = lambda tt, X: kr.vector_field_fast(A, static, tt, X)
+        f = lambda tt, X: kr.vector_field_fast(A, static, tt, X, prec)
         _, st = odeint_with_stats(f, x0, t, rtol, atol, method="dopri5")
         return st["nfe"], st["reached_final_time"]
 
