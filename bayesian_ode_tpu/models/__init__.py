@@ -2,6 +2,7 @@
 from . import (  # noqa: F401
     kernel_regression,
     latent_ode,
+    linear_regression,
     mlp,
     odenet,
     spiral,
@@ -17,6 +18,7 @@ __all__ = [
     "fhn",
     "kernel_regression",
     "latent_ode",
+    "linear_regression",
     "lv",
     "make_dataset",
     "mlp",
