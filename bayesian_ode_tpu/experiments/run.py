@@ -25,6 +25,10 @@ def main(argv=None):
     ap.add_argument("--id", type=int, required=True)
     ap.add_argument("--experiment", default="vanderpol",
                     choices=["vanderpol", "toy"])
+    ap.add_argument("--data-pickle", default=None,
+                    help="load a reference-format data pickle "
+                         "({N,R,noise,x0,t,X,Y,ODE} dict, gp.py:544) "
+                         "instead of regenerating the dataset")
     ap.add_argument("--no-plots", action="store_true")
     args = ap.parse_args(argv)
 
@@ -36,16 +40,30 @@ def main(argv=None):
             print(run_toy(cfg, output, make_plots=not args.no_plots))
         return
 
-    dspec = blob.get("data", {})
-    data = make_dataset(
-        jax.random.PRNGKey(dspec.get("seed", 0)),
-        ode=dspec.get("ode", "vdp"),
-        N=dspec.get("N", 5),
-        T=dspec.get("T", 60),
-        t_max=dspec.get("t_max", 6.0),
-        noise=dspec.get("noise", 0.05),
-        x0_scale=dspec.get("x0_scale", 1.5),
-    )
+    if args.data_pickle:
+        import pickle
+
+        import jax.numpy as jnp
+        import numpy as np
+
+        with open(args.data_pickle, "rb") as f:
+            raw = pickle.load(f)
+        data = {
+            k: (jnp.asarray(np.asarray(v))
+                if k in ("x0", "t", "X", "Y") else v)
+            for k, v in raw.items()
+        }
+    else:
+        dspec = blob.get("data", {})
+        data = make_dataset(
+            jax.random.PRNGKey(dspec.get("seed", 0)),
+            ode=dspec.get("ode", "vdp"),
+            N=dspec.get("N", 5),
+            T=dspec.get("T", 60),
+            t_max=dspec.get("t_max", 6.0),
+            noise=dspec.get("noise", 0.05),
+            x0_scale=dspec.get("x0_scale", 1.5),
+        )
     for cfg in blob["configs"]:
         print(worker(cfg, data, output))
 

