@@ -1,0 +1,315 @@
+"""Fused dopri5 stepper for the GP (kernel-regression) vector field.
+
+The generic solver runs each adaptive step as ~dozens of small XLA kernels
+inside a `lax.while_loop`; at 10k chains that costs ~1.6 ms/step against a
+~30 us bandwidth bound.  This module fuses ONE ENTIRE dopri5 accept/reject
+step — all 6 RK stages of the GP RHS, the embedded error norm, the PI
+step-size controller, the dense-output quartic fit, and the
+active/accept masking — into a single Pallas TPU kernel (the "fused
+RHS+error-norm kernel" named in BASELINE.json).
+
+Layout: chains ride the 128-lane axis; per-chain features ride sublanes —
+state is (8, C) row-blocks (5 trajectory points per dimension), inducing
+quantities are (40, C) (36 grid points padded to 40; padded grid points
+are mapped far away so their kernel weights underflow to exactly 0).  All
+arithmetic is VPU elementwise work over (40, C) tiles; there is no matmul
+because the feature dimension is 2.
+
+The outer time loop stays in XLA: `lax.while_loop(any active) { one
+pallas step }` per output interval, with dense-output evaluation between
+intervals.  Numerical semantics match the generic integrator (same
+tableau, controller constants, ulps tolerance floor, quartic fit).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ode.tableaus import DOPRI5
+
+_N = 5          # trajectory points per chain (rows 0..4 of the 8-row block)
+_RP = 8         # sublane-padded point rows
+_M = 36         # inducing points
+_MP = 40        # sublane-padded inducing rows
+_ULPS = 32.0    # tolerance floor, matches ode/step_control.error_ratio
+_FAR = 1e9     # padded-grid-point offset: exp(-0.5*FAR^2) == 0
+
+
+class GPDopri5State(NamedTuple):
+    px: jax.Array   # (8, C) x-coords of the 5 points
+    py: jax.Array   # (8, C)
+    fx: jax.Array   # (8, C) FSAL derivative
+    fy: jax.Array   # (8, C)
+    t0: jax.Array   # (1, C) start of last accepted step
+    t1: jax.Array   # (1, C) end of last accepted step
+    dt: jax.Array   # (1, C) proposed next step
+    cx: jax.Array   # (40, C) quartic coeffs x: rows 8j..8j+4 = coeff j
+    cy: jax.Array   # (40, C)
+    nfe: jax.Array  # (1, C) float32 counters
+    nacc: jax.Array
+    nrej: jax.Array
+
+
+def _make_kernel(sf: float, ell: float, rtol: float, atol: float,
+                 safety: float, ifactor: float, dfactor: float):
+    sf2 = sf * sf
+    inv2ell2 = 0.5 / (ell * ell)
+    alphas = DOPRI5.alpha
+    betas = DOPRI5.beta
+    c_err = DOPRI5.c_error
+    c_mid = DOPRI5.c_mid
+    order = DOPRI5.order
+
+    def kernel(next_t_ref, px_ref, py_ref, fx_ref, fy_ref, t0_ref, t1_ref,
+               dt_ref, cx_ref, cy_ref, nfe_ref, nacc_ref, nrej_ref,
+               ax_ref, ay_ref, zx_ref, zy_ref,
+               opx, opy, ofx, ofy, ot0, ot1, odt, ocx, ocy, onfe, onacc,
+               onrej):
+        next_t = next_t_ref[0]
+        px, py = px_ref[:], py_ref[:]
+        fx, fy = fx_ref[:], fy_ref[:]
+        t1 = t1_ref[:]
+        dt = dt_ref[:]
+        ax, ay = ax_ref[:], ay_ref[:]
+        zx, zy = zx_ref[:], zy_ref[:]
+
+        active = t1 < next_t                           # (1, C)
+
+        def rhs(sx, sy):
+            """GP field at 5 points: f = K(x, Z) A, all VPU."""
+            outx, outy = [], []
+            for n in range(_N):
+                dxn = sx[n : n + 1, :] - zx            # (40, C)
+                dyn = sy[n : n + 1, :] - zy
+                K = sf2 * jnp.exp(-(dxn * dxn + dyn * dyn) * inv2ell2)
+                outx.append(jnp.sum(K * ax, axis=0, keepdims=True))
+                outy.append(jnp.sum(K * ay, axis=0, keepdims=True))
+            pad = jnp.zeros_like(outx[0])
+            return (jnp.concatenate(outx + [pad] * (_RP - _N), 0),
+                    jnp.concatenate(outy + [pad] * (_RP - _N), 0))
+
+        # --- RK stages (FSAL: 6 evaluations) ---
+        kx = [fx]
+        ky = [fy]
+        for beta_i in betas:
+            incx = sum(b * k for b, k in zip(beta_i, kx) if b != 0)
+            incy = sum(b * k for b, k in zip(beta_i, ky) if b != 0)
+            sx = px + dt * incx
+            sy = py + dt * incy
+            fxi, fyi = rhs(sx, sy)
+            kx.append(fxi)
+            ky.append(fyi)
+        y1x, y1y = sx, sy                # last stage is (t1, y1) (FSAL)
+        f1x, f1y = kx[-1], ky[-1]
+
+        errx = dt * sum(c * k for c, k in zip(c_err, kx) if c != 0)
+        erry = dt * sum(c * k for c, k in zip(c_err, ky) if c != 0)
+
+        # --- error ratio (mean square over the 10 valid components) ---
+        eps = jnp.float32(1.1920929e-07)
+        row_mask = jax.lax.broadcasted_iota(jnp.int32, (_RP, 1), 0) < _N
+
+        def comp_ratio(err, y0, y1):
+            mag = jnp.maximum(jnp.abs(y0), jnp.abs(y1))
+            tol = jnp.maximum(atol + rtol * mag, _ULPS * eps * mag)
+            r = err / tol
+            return jnp.sum(jnp.where(row_mask, r * r, 0.0), axis=0,
+                           keepdims=True)
+
+        ratio = (comp_ratio(errx, px, y1x) + comp_ratio(erry, py, y1y)) / (
+            2 * _N
+        )                                                # (1, C)
+        accept = ratio <= 1.0
+
+        # --- PI controller (ode/step_control.optimal_step_size) ---
+        dfac = jnp.where(ratio < 1.0, 1.0, dfactor)
+        err_nrm = jnp.sqrt(jnp.maximum(ratio, jnp.float32(1e-38)))
+        factor = jnp.maximum(
+            1.0 / ifactor,
+            jnp.minimum(err_nrm ** (1.0 / order) / safety, 1.0 / dfac),
+        )
+        factor = jnp.where(jnp.isfinite(factor), factor, 1.0 / dfac)
+        dt_next = jnp.where(ratio == 0.0, dt * ifactor, dt / factor)
+
+        # --- dense-output quartic fit (ode/interp.interp_fit) ---
+        midx = px + dt * sum(c * k for c, k in zip(c_mid, kx) if c != 0)
+        midy = py + dt * sum(c * k for c, k in zip(c_mid, ky) if c != 0)
+
+        def fit(y0, y1, ymid, f0, f1):
+            a = -2 * dt * f0 + 2 * dt * f1 - 8 * y0 - 8 * y1 + 16 * ymid
+            b = 5 * dt * f0 - 3 * dt * f1 + 18 * y0 + 14 * y1 - 32 * ymid
+            c = -4 * dt * f0 + dt * f1 - 11 * y0 - 5 * y1 + 16 * ymid
+            d = dt * f0
+            return jnp.concatenate([a, b, c, d, y0], axis=0)   # (40, C)
+
+        new_cx = fit(px, y1x, midx, fx, f1x)
+        new_cy = fit(py, y1y, midy, fy, f1y)
+
+        # --- masked state update: inactive lanes pass through; active
+        # lanes take the accept/reject branch ---
+        take = active & accept            # (1, C)
+        step_taken = active
+
+        def sel(new, acc_old):
+            return jnp.where(take, new, acc_old)
+
+        opx[:] = sel(y1x, px)
+        opy[:] = sel(y1y, py)
+        ofx[:] = sel(f1x, fx)
+        ofy[:] = sel(f1y, fy)
+        ot0[:] = jnp.where(take, t1, t0_ref[:])
+        ot1[:] = sel(t1 + dt, t1)
+        odt[:] = jnp.where(step_taken, dt_next, dt)
+        ocx[:] = sel(new_cx, cx_ref[:])
+        ocy[:] = sel(new_cy, cy_ref[:])
+        fstep = step_taken.astype(jnp.float32)
+        facc = take.astype(jnp.float32)
+        onfe[:] = nfe_ref[:] + 6.0 * fstep
+        onacc[:] = nacc_ref[:] + facc
+        onrej[:] = nrej_ref[:] + fstep - facc
+
+    return kernel
+
+
+def _pallas_step(state: GPDopri5State, next_t, consts, cfg,
+                 interpret=False):
+    ax, ay, zx, zy = consts
+    kernel = _make_kernel(*cfg)
+    shapes = [
+        jax.ShapeDtypeStruct(s.shape, s.dtype)
+        for s in [state.px, state.py, state.fx, state.fy, state.t0,
+                  state.t1, state.dt, state.cx, state.cy, state.nfe,
+                  state.nacc, state.nrej]
+    ]
+    vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vm()] * 16,
+        out_specs=[vm()] * 12,
+        out_shape=shapes,
+        input_output_aliases={i + 1: i for i in range(12)},
+        interpret=interpret,
+    )(
+        next_t.reshape(1), state.px, state.py, state.fx, state.fy, state.t0,
+        state.t1, state.dt, state.cx, state.cy, state.nfe, state.nacc,
+        state.nrej, ax, ay, zx, zy,
+    )
+    return GPDopri5State(*outs)
+
+
+def _interp_eval(state: GPDopri5State, t):
+    """Quartic dense-output evaluation (XLA, between intervals)."""
+    denom = jnp.where(state.t1 == state.t0, 1.0, state.t1 - state.t0)
+    x = jnp.where(state.t1 == state.t0, 0.0, (t - state.t0) / denom)  # (1,C)
+
+    def horner(c):
+        a, b, cc, d, e = (c[8 * j : 8 * j + _RP] for j in range(5))
+        return (((a * x + b) * x + cc) * x + d) * x + e
+
+    return horner(state.cx), horner(state.cy)
+
+
+def gp_dopri5_solve(A, x0, ts, static, rtol=1e-7, atol=1e-9, safety=0.9,
+                    ifactor=10.0, dfactor=0.2, max_steps=100_000,
+                    interpret=False):
+    """Solve the GP-field ODE for C chains with the fused stepper.
+
+    A:  (C, 36, D=2) per-chain precomputed weights (Kzz^{-1} L U).
+    x0: (N=5, 2) shared initial trajectory points.
+    ts: (T,) output times.
+    static: models.kernel_regression.GPVectorFieldStatic.
+
+    Returns (ys (T, C, N, 2), stats dict).  C must be a multiple of 128.
+    """
+    C = A.shape[0]
+    if C % 128 != 0:
+        raise ValueError(f"chain count must be a multiple of 128, got {C}")
+    f32 = jnp.float32
+    ts = ts.astype(f32)
+
+    # ---- pack to lane-major layout ----
+    def pack_points(p):      # (C, N) -> (8, C)
+        return jnp.concatenate(
+            [p.T, jnp.zeros((_RP - _N, C), f32)], axis=0
+        )
+
+    x0b = jnp.broadcast_to(x0.astype(f32), (C, _N, 2))
+    px = pack_points(x0b[:, :, 0])
+    py = pack_points(x0b[:, :, 1])
+    ax = jnp.concatenate(
+        [A[:, :, 0].astype(f32).T, jnp.zeros((_MP - _M, C), f32)], 0
+    )
+    ay = jnp.concatenate(
+        [A[:, :, 1].astype(f32).T, jnp.zeros((_MP - _M, C), f32)], 0
+    )
+    # the kernel computes (x - z)^2 / (2 ell^2) on raw coordinates
+    Zc = static.Z.astype(f32)
+    zx = jnp.concatenate([Zc[:, 0], jnp.full((_MP - _M,), _FAR, f32)])[:, None]
+    zy = jnp.concatenate([Zc[:, 1], jnp.full((_MP - _M,), _FAR, f32)])[:, None]
+    consts = (ax, ay, zx, zy)
+    cfg = (static.sf, static.ell, rtol, atol, safety, ifactor, dfactor)
+
+    # ---- initial derivative + Hairer-style initial dt (XLA, once) ----
+    from ..models.kernel_regression import rbf
+
+    def rhs_ref(p):
+        K = rbf(p, Zc, static.sf, static.ell,
+                precision=jax.lax.Precision.HIGHEST)
+        return jnp.einsum("cnm,cmd->cnd", K, A.astype(f32),
+                          precision=jax.lax.Precision.HIGHEST)
+
+    pts0 = x0b                                   # (C, N, 2)
+    f0 = rhs_ref(pts0)
+    scale = atol + jnp.abs(pts0) * rtol
+    d0 = jnp.sqrt(jnp.mean((pts0 / scale) ** 2, axis=(1, 2)))
+    d1 = jnp.sqrt(jnp.mean((f0 / scale) ** 2, axis=(1, 2)))
+    h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6,
+                   0.01 * d0 / jnp.maximum(d1, 1e-30))
+    p1 = pts0 + h0[:, None, None] * f0
+    f1 = rhs_ref(p1)
+    d2 = jnp.sqrt(jnp.mean(((f1 - f0) / scale) ** 2, axis=(1, 2))) / h0
+    h1 = jnp.where((d1 <= 1e-15) & (d2 <= 1e-15),
+                   jnp.maximum(1e-6, h0 * 1e-3),
+                   (0.01 / jnp.maximum(jnp.maximum(d1, d2), 1e-30))
+                   ** (1.0 / 5.0))
+    dt0 = jnp.minimum(100 * h0, h1).astype(f32)
+
+    t0s = jnp.full((1, C), ts[0], f32)
+    zeros40 = jnp.zeros((_MP, C), f32)
+    state = GPDopri5State(
+        px=px, py=py,
+        fx=pack_points(f0[:, :, 0]), fy=pack_points(f0[:, :, 1]),
+        t0=t0s, t1=t0s, dt=dt0[None, :],
+        cx=zeros40.at[32:40].set(px), cy=zeros40.at[32:40].set(py),
+        nfe=jnp.full((1, C), 2.0, f32), nacc=jnp.zeros((1, C), f32),
+        nrej=jnp.zeros((1, C), f32),
+    )
+
+    def advance(state, next_t):
+        def cond(s):
+            budget = jnp.max(s.nacc + s.nrej) < max_steps
+            return jnp.any(s.t1 < next_t) & budget
+
+        def body(s):
+            return _pallas_step(s, next_t, consts, cfg, interpret)
+
+        state = jax.lax.while_loop(cond, body, state)
+        ex, ey = _interp_eval(state, next_t)
+        y = jnp.stack([ex[:_N].T, ey[:_N].T], axis=-1)   # (C, N, 2)
+        return state, y
+
+    state, ys_tail = jax.lax.scan(advance, state, ts[1:])
+    y0_out = jnp.broadcast_to(x0.astype(f32), (C, _N, 2))
+    ys = jnp.concatenate([y0_out[None], ys_tail], axis=0)
+    stats = {
+        "nfe": state.nfe[0].astype(jnp.int32),
+        "n_accepted": state.nacc[0].astype(jnp.int32),
+        "n_rejected": state.nrej[0].astype(jnp.int32),
+        "reached_final_time": jnp.all(state.t1 >= ts[-1]),
+    }
+    return ys, stats
