@@ -89,6 +89,14 @@ def make_sampler(config: Dict, potential: Callable):
                                 burn_in_steps=config["burn_in"],
                                 mom_decay=config.get("mom_decay", 5e-2),
                                 lambda_=config["lambda_"])
+    if method == "SGRHMC":
+        return samplers.sgrhmc(potential, _poly_sched(config),
+                               friction=config.get("friction", 0.1),
+                               lambda_=config["lambda_"])
+    if method == "AdamSGLD":
+        return samplers.adam_sgld(potential, _poly_sched(config),
+                                  a=config.get("adam_a", 1.0),
+                                  lambda_=config["lambda_"])
     if method == "MMALA":
         metric = samplers.softabs_metric(
             potential, softabs_coeff=config.get("softabs_coeff", 1e3)

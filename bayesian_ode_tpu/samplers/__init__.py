@@ -13,8 +13,16 @@ from .base import (  # noqa: F401
 )
 from .diagnostics import acceptance_rate, ess, ess_per_param, split_rhat  # noqa: F401
 from .hamcmc import hamcmc  # noqa: F401
-from .hamiltonian import acsghmc, asghmc  # noqa: F401
-from .langevin import asgld, csgld, mala, mmala, psgld, sgld  # noqa: F401
+from .hamiltonian import acsghmc, asghmc, sgrhmc  # noqa: F401
+from .langevin import (  # noqa: F401
+    adam_sgld,
+    asgld,
+    csgld,
+    mala,
+    mmala,
+    psgld,
+    sgld,
+)
 from .metrics import (  # noqa: F401
     flat_hessian,
     hessian_metric,
@@ -28,6 +36,7 @@ __all__ = [
     "TransitionKernel",
     "acceptance_rate",
     "acsghmc",
+    "adam_sgld",
     "asghmc",
     "asgld",
     "csgld",
@@ -46,6 +55,7 @@ __all__ = [
     "sample_chains",
     "schedules",
     "sgld",
+    "sgrhmc",
     "softabs_metric",
     "split_rhat",
     "svgd",

@@ -148,6 +148,64 @@ def asghmc(potential_fn: Callable, step_size, burn_in_steps: int,
                        resample_momentum_every, burn_in_steps, noise_fn)
 
 
+class SGRHMCState(NamedTuple):
+    position: PyTree
+    potential: jax.Array
+    grad: PyTree
+    v: PyTree          # EMA of squared gradients (metric)
+    momentum: PyTree
+    step: jax.Array
+
+
+def sgrhmc(potential_fn: Callable, step_size, friction: float = 0.1,
+           beta: float = 0.99, lambda_: float = 1e-5) -> TransitionKernel:
+    """Stochastic Gradient Riemannian HMC, completed.
+
+    The reference carries only a docstring stub (hamiltonian.py:337-340).
+    This implements the Ma, Chen & Fox (2015) "complete recipe" SGRHMC
+    with a diagonal RMSprop metric G = diag(1/(lambda + sqrt(V))):
+
+        V <- beta*V + (1-beta)*g^2
+        r <- r - eps*G^{1/2}*g - eps*C*r + N(0, 2*eps*C)
+        theta <- theta + eps*G^{1/2}*r
+
+    (the Gamma metric-derivative term is dropped, as pSGLD drops it).
+    """
+    sched = schedules.resolve(step_size)
+    value_and_grad = jax.value_and_grad(potential_fn)
+
+    def init(position):
+        u, g = value_and_grad(position)
+        return SGRHMCState(position, u, g,
+                           jax.tree.map(jnp.zeros_like, g),
+                           jax.tree.map(jnp.zeros_like, position),
+                           jnp.asarray(0, jnp.int32))
+
+    def step(key, state):
+        eps = sched(state.step)
+        v = jax.tree.map(lambda v_, g_: beta * v_ + (1 - beta) * g_**2,
+                         state.v, state.grad)
+        ghalf = jax.tree.map(
+            lambda v_: 1.0 / jnp.sqrt(jnp.sqrt(v_) + lambda_), v
+        )
+        noise = tree_random_normal(key, state.momentum)
+        sigma = jnp.sqrt(2.0 * eps * friction)
+        r = jax.tree.map(
+            lambda r_, gh, g_, n: r_ - eps * gh * g_ - eps * friction * r_
+            + sigma * n,
+            state.momentum, ghalf, state.grad, noise,
+        )
+        position = jax.tree.map(
+            lambda p, gh, r_: p + eps * gh * r_, state.position, ghalf, r
+        )
+        u, g = value_and_grad(position)
+        info = {"potential": state.potential, "accepted": jnp.asarray(True),
+                "step_size": eps}
+        return SGRHMCState(position, u, g, v, r, state.step + 1), info
+
+    return TransitionKernel(init, step)
+
+
 def acsghmc(potential_fn: Callable, lr0: float, num_cycles: int,
             total_iters: int, burn_in_steps: int, beta: float = 0.25,
             mom_decay: float = 5e-2, lambda_: float = 1e-5,

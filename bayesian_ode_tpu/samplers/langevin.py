@@ -200,6 +200,62 @@ def asgld(potential_fn: Callable, step_size, alpha: float = 0.99,
     return psgld(potential_fn, step_size, alpha, lambda_, add_noise)
 
 
+class AdamSGLDState(NamedTuple):
+    position: PyTree
+    potential: jax.Array
+    grad: PyTree
+    m: PyTree
+    v: PyTree
+    step: jax.Array
+
+
+def adam_sgld(potential_fn: Callable, step_size, beta1: float = 0.9,
+              beta2: float = 0.999, a: float = 1.0, lambda_: float = 1e-8
+              ) -> TransitionKernel:
+    """Adam-preconditioned SGLD — the reference's intended aSGLD
+    (README.md:18 lists "Adaptive SGLD (based on Adam)" as a TODO; its
+    implementation duplicates pSGLD, langevin.py:1514-1540).
+
+    Bias-corrected Adam moments precondition the Langevin drift
+    (cf. arXiv:2504.18911):
+
+        m <- beta1*m + (1-beta1)*g;  V <- beta2*V + (1-beta2)*g^2
+        G = 1/(lambda + sqrt(V_hat))
+        theta <- theta - lr*G*(g + a*m_hat) - sqrt(2*lr*G)*xi
+    """
+    sched = schedules.resolve(step_size)
+    value_and_grad = jax.value_and_grad(potential_fn)
+
+    def init(position):
+        u, g = value_and_grad(position)
+        z = jax.tree.map(jnp.zeros_like, g)
+        return AdamSGLDState(position, u, g, z, z, jnp.asarray(0, jnp.int32))
+
+    def step(key, state):
+        lr = sched(state.step)
+        t = state.step + 1
+        m = jax.tree.map(lambda m_, g_: beta1 * m_ + (1 - beta1) * g_,
+                         state.m, state.grad)
+        v = jax.tree.map(lambda v_, g_: beta2 * v_ + (1 - beta2) * g_**2,
+                         state.v, state.grad)
+        bc1 = 1.0 - beta1**t.astype(jnp.float32)
+        bc2 = 1.0 - beta2**t.astype(jnp.float32)
+        noise = tree_random_normal(key, state.position)
+        new_pos = jax.tree.map(
+            lambda p, g_, m_, v_, n: p
+            - lr * (g_ + a * m_ / bc1) / (lambda_ + jnp.sqrt(v_ / bc2))
+            - langevin_noise_scale(lr)
+            * jnp.sqrt(1.0 / (lambda_ + jnp.sqrt(v_ / bc2))) * n,
+            state.position, state.grad, m, v, noise,
+        )
+        u, g = value_and_grad(new_pos)
+        info = {"potential": state.potential, "accepted": jnp.asarray(True),
+                "step_size": lr}
+        return AdamSGLDState(new_pos, u, g, m, v, t), info
+
+    return TransitionKernel(init, step)
+
+
 class CyclicalState(NamedTuple):
     position: PyTree
     potential: jax.Array

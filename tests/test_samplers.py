@@ -231,3 +231,17 @@ def test_diagnostics_ess_rhat():
     assert abs(float(r_good) - 1.0) < 0.05
     shifted = iid + jnp.arange(4)[:, None] * 3.0
     assert float(samplers.split_rhat(shifted)) > 1.5
+
+
+def test_sgrhmc_gaussian_moments():
+    # completed SGRHMC (reference stub, hamiltonian.py:337-340)
+    kernel = samplers.sgrhmc(gauss_potential, step_size=0.05, friction=0.3)
+    positions, _ = run_chains(kernel, 21, num_samples=2000, burn_in=500)
+    check_moments(positions, mean_tol=0.25, cov_tol=0.45)
+
+
+def test_adam_sgld_gaussian_moments():
+    # the Adam-preconditioned SGLD the reference's aSGLD intended to be
+    kernel = samplers.adam_sgld(gauss_potential, step_size=0.01, a=0.5)
+    positions, _ = run_chains(kernel, 22, num_samples=2000, burn_in=500)
+    check_moments(positions, mean_tol=0.25, cov_tol=0.5)
