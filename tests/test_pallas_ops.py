@@ -82,3 +82,75 @@ def test_gp_dopri5_fused_matches_generic():
     np.testing.assert_allclose(np.asarray(st["nfe"]), np.asarray(nfe_ref),
                                rtol=0.1)
     assert float(jnp.max(jnp.abs(ys - ys_ref))) < 2e-3
+
+
+def test_gp_rk4_fused_forward_and_gradients():
+    # fused rk4 trajectory kernel + hand-written backward vs the generic
+    # solver and jax autodiff (interpret mode).
+    from bayesian_ode_tpu import odeint
+    from bayesian_ode_tpu.models import kernel_regression as kr
+    from bayesian_ode_tpu.models import make_dataset
+    from bayesian_ode_tpu.ops.gp_rk4 import (
+        gp_rk4_trajectory,
+        make_fused_gp_potential,
+    )
+
+    data = make_dataset(jax.random.PRNGKey(2), "vdp", N=5, T=12, t_max=2.5,
+                        noise=0.05, x0_scale=1.5)
+    Z = kr.make_inducing_grid(data["Y"], M=6)
+    static = kr.make_static(Z, sf=1.0, ell=0.75)
+    f32 = jnp.float32
+    static32 = static._replace(Z=static.Z.astype(f32),
+                               KzzinvL=static.KzzinvL.astype(f32),
+                               Kzzinv=static.Kzzinv.astype(f32))
+    p0 = kr.init_params(data["Y"], data["t"], static, noise=0.05)
+    C = 128
+    U = p0["U"].astype(f32)[None] + 3e-3 * jax.random.normal(
+        jax.random.PRNGKey(0), (C, 36, 2), f32)
+    A = jnp.einsum("mk,ckd->cmd", static32.KzzinvL, U)
+    x0 = data["x0"].astype(f32)
+    ts = data["t"].astype(f32)
+
+    traj = gp_rk4_trajectory(A, x0, ts, static32, tile=128, interpret=True)
+
+    def gen_one(Ac):
+        f = lambda tt, X: kr.vector_field_fast(Ac, static32, tt, X)
+        return odeint(f, x0, ts, method="rk4")
+
+    traj_ref = jnp.moveaxis(jax.vmap(gen_one)(A), 0, 1)
+    assert float(jnp.max(jnp.abs(traj - traj_ref))) < 1e-4
+
+    W = jax.random.normal(jax.random.PRNGKey(5), traj.shape, f32)
+    g_fused = jax.grad(
+        lambda A_: jnp.sum(
+            gp_rk4_trajectory(A_, x0, ts, static32, tile=128, interpret=True)
+            * W
+        )
+    )(A)
+    g_ref = jax.grad(
+        lambda A_: jnp.sum(
+            jnp.moveaxis(jax.vmap(gen_one)(A_), 0, 1) * W
+        )
+    )(A)
+    scale = float(jnp.max(jnp.abs(g_ref)))
+    assert float(jnp.max(jnp.abs(g_fused - g_ref))) / scale < 1e-4
+
+    # potential (value + grad) parity against the generic GP posterior
+    pot_fused = make_fused_gp_potential(static32, x0, ts,
+                                        data["Y"].astype(f32), tile=128,
+                                        interpret=True)
+    solve = lambda f, x0_, t_: odeint(f, x0_, t_, method="rk4")
+    pot_gen = kr.make_potential(static32, x0, ts, data["Y"].astype(f32),
+                                solve)
+    ls = jnp.broadcast_to(p0["logsn"].astype(f32), (C, 2))
+    v_f = pot_fused({"U": U, "logsn": ls})
+    v_g = jax.vmap(lambda u, l: pot_gen({"U": u, "logsn": l}))(U, ls)
+    assert float(jnp.max(jnp.abs(v_f - v_g) / jnp.abs(v_g))) < 1e-4
+    g_f = jax.grad(lambda u: jnp.sum(pot_fused({"U": u, "logsn": ls})))(U)
+    g_g = jax.grad(
+        lambda u: jnp.sum(
+            jax.vmap(lambda uu, l: pot_gen({"U": uu, "logsn": l}))(u, ls)
+        )
+    )(U)
+    assert float(jnp.max(jnp.abs(g_f - g_g))) / float(
+        jnp.max(jnp.abs(g_g))) < 1e-4
