@@ -32,31 +32,32 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ode.tableaus import DOPRI5
 
-_N = 5          # trajectory points per chain (rows 0..4 of the 8-row block)
-_RP = 8         # sublane-padded point rows
-_M = 36         # inducing points
-_MP = 40        # sublane-padded inducing rows
 _ULPS = 32.0    # tolerance floor, matches ode/step_control.error_ratio
-_FAR = 1e9     # padded-grid-point offset: exp(-0.5*FAR^2) == 0
+_FAR = 1e9      # padded-grid-point offset: exp(-0.5*FAR^2) == 0
+
+
+def _pad8(n: int) -> int:
+    return ((n + 7) // 8) * 8
 
 
 class GPDopri5State(NamedTuple):
-    px: jax.Array   # (8, C) x-coords of the 5 points
-    py: jax.Array   # (8, C)
-    fx: jax.Array   # (8, C) FSAL derivative
-    fy: jax.Array   # (8, C)
+    px: jax.Array   # (RP, C) x-coords of the N points
+    py: jax.Array   # (RP, C)
+    fx: jax.Array   # (RP, C) FSAL derivative
+    fy: jax.Array   # (RP, C)
     t0: jax.Array   # (1, C) start of last accepted step
     t1: jax.Array   # (1, C) end of last accepted step
     dt: jax.Array   # (1, C) proposed next step
-    cx: jax.Array   # (40, C) quartic coeffs x: rows 8j..8j+4 = coeff j
-    cy: jax.Array   # (40, C)
+    cx: jax.Array   # (5*RP, C) quartic coeffs x: rows RP*j.. = coeff j
+    cy: jax.Array   # (5*RP, C)
     nfe: jax.Array  # (1, C) float32 counters
     nacc: jax.Array
     nrej: jax.Array
 
 
 def _make_kernel(sf: float, ell: float, rtol: float, atol: float,
-                 safety: float, ifactor: float, dfactor: float):
+                 safety: float, ifactor: float, dfactor: float,
+                 N: int, RP: int):
     sf2 = sf * sf
     inv2ell2 = 0.5 / (ell * ell)
     alphas = DOPRI5.alpha
@@ -81,17 +82,17 @@ def _make_kernel(sf: float, ell: float, rtol: float, atol: float,
         active = t1 < next_t                           # (1, C)
 
         def rhs(sx, sy):
-            """GP field at 5 points: f = K(x, Z) A, all VPU."""
+            """GP field at the N points: f = K(x, Z) A, all VPU."""
             outx, outy = [], []
-            for n in range(_N):
+            for n in range(N):
                 dxn = sx[n : n + 1, :] - zx            # (40, C)
                 dyn = sy[n : n + 1, :] - zy
                 K = sf2 * jnp.exp(-(dxn * dxn + dyn * dyn) * inv2ell2)
                 outx.append(jnp.sum(K * ax, axis=0, keepdims=True))
                 outy.append(jnp.sum(K * ay, axis=0, keepdims=True))
             pad = jnp.zeros_like(outx[0])
-            return (jnp.concatenate(outx + [pad] * (_RP - _N), 0),
-                    jnp.concatenate(outy + [pad] * (_RP - _N), 0))
+            return (jnp.concatenate(outx + [pad] * (RP - N), 0),
+                    jnp.concatenate(outy + [pad] * (RP - N), 0))
 
         # --- RK stages (FSAL: 6 evaluations) ---
         kx = [fx]
@@ -112,7 +113,7 @@ def _make_kernel(sf: float, ell: float, rtol: float, atol: float,
 
         # --- error ratio (mean square over the 10 valid components) ---
         eps = jnp.float32(1.1920929e-07)
-        row_mask = jax.lax.broadcasted_iota(jnp.int32, (_RP, 1), 0) < _N
+        row_mask = jax.lax.broadcasted_iota(jnp.int32, (RP, 1), 0) < N
 
         def comp_ratio(err, y0, y1):
             mag = jnp.maximum(jnp.abs(y0), jnp.abs(y1))
@@ -122,7 +123,7 @@ def _make_kernel(sf: float, ell: float, rtol: float, atol: float,
                            keepdims=True)
 
         ratio = (comp_ratio(errx, px, y1x) + comp_ratio(erry, py, y1y)) / (
-            2 * _N
+            2 * N
         )                                                # (1, C)
         accept = ratio <= 1.0
 
@@ -176,10 +177,10 @@ def _make_kernel(sf: float, ell: float, rtol: float, atol: float,
     return kernel
 
 
-def _pallas_step(state: GPDopri5State, next_t, consts, cfg,
+def _pallas_step(state: GPDopri5State, next_t, consts, cfg, N, RP,
                  interpret=False):
     ax, ay, zx, zy = consts
-    kernel = _make_kernel(*cfg)
+    kernel = _make_kernel(*cfg, N, RP)
     shapes = [
         jax.ShapeDtypeStruct(s.shape, s.dtype)
         for s in [state.px, state.py, state.fx, state.fy, state.t0,
@@ -202,13 +203,13 @@ def _pallas_step(state: GPDopri5State, next_t, consts, cfg,
     return GPDopri5State(*outs)
 
 
-def _interp_eval(state: GPDopri5State, t):
+def _interp_eval(state: GPDopri5State, t, RP):
     """Quartic dense-output evaluation (XLA, between intervals)."""
     denom = jnp.where(state.t1 == state.t0, 1.0, state.t1 - state.t0)
     x = jnp.where(state.t1 == state.t0, 0.0, (t - state.t0) / denom)  # (1,C)
 
     def horner(c):
-        a, b, cc, d, e = (c[8 * j : 8 * j + _RP] for j in range(5))
+        a, b, cc, d, e = (c[RP * j : RP * j + RP] for j in range(5))
         return (((a * x + b) * x + cc) * x + d) * x + e
 
     return horner(state.cx), horner(state.cy)
@@ -219,8 +220,8 @@ def gp_dopri5_solve(A, x0, ts, static, rtol=1e-7, atol=1e-9, safety=0.9,
                     interpret=False):
     """Solve the GP-field ODE for C chains with the fused stepper.
 
-    A:  (C, 36, D=2) per-chain precomputed weights (Kzz^{-1} L U).
-    x0: (N=5, 2) shared initial trajectory points.
+    A:  (C, M, D=2) per-chain precomputed weights (Kzz^{-1} L U).
+    x0: (N, 2) shared initial trajectory points.
     ts: (T,) output times.
     static: models.kernel_regression.GPVectorFieldStatic.
 
@@ -231,26 +232,30 @@ def gp_dopri5_solve(A, x0, ts, static, rtol=1e-7, atol=1e-9, safety=0.9,
         raise ValueError(f"chain count must be a multiple of 128, got {C}")
     f32 = jnp.float32
     ts = ts.astype(f32)
+    N = x0.shape[-2]
+    RP = _pad8(N)
+    M = static.Z.shape[0]
+    MP = _pad8(M)
 
     # ---- pack to lane-major layout ----
-    def pack_points(p):      # (C, N) -> (8, C)
+    def pack_points(p):      # (C, N) -> (RP, C)
         return jnp.concatenate(
-            [p.T, jnp.zeros((_RP - _N, C), f32)], axis=0
+            [p.T, jnp.zeros((RP - N, C), f32)], axis=0
         )
 
-    x0b = jnp.broadcast_to(x0.astype(f32), (C, _N, 2))
+    x0b = jnp.broadcast_to(x0.astype(f32), (C, N, 2))
     px = pack_points(x0b[:, :, 0])
     py = pack_points(x0b[:, :, 1])
     ax = jnp.concatenate(
-        [A[:, :, 0].astype(f32).T, jnp.zeros((_MP - _M, C), f32)], 0
+        [A[:, :, 0].astype(f32).T, jnp.zeros((MP - M, C), f32)], 0
     )
     ay = jnp.concatenate(
-        [A[:, :, 1].astype(f32).T, jnp.zeros((_MP - _M, C), f32)], 0
+        [A[:, :, 1].astype(f32).T, jnp.zeros((MP - M, C), f32)], 0
     )
     # the kernel computes (x - z)^2 / (2 ell^2) on raw coordinates
     Zc = static.Z.astype(f32)
-    zx = jnp.concatenate([Zc[:, 0], jnp.full((_MP - _M,), _FAR, f32)])[:, None]
-    zy = jnp.concatenate([Zc[:, 1], jnp.full((_MP - _M,), _FAR, f32)])[:, None]
+    zx = jnp.concatenate([Zc[:, 0], jnp.full((MP - M,), _FAR, f32)])[:, None]
+    zy = jnp.concatenate([Zc[:, 1], jnp.full((MP - M,), _FAR, f32)])[:, None]
     consts = (ax, ay, zx, zy)
     cfg = (static.sf, static.ell, rtol, atol, safety, ifactor, dfactor)
 
@@ -280,12 +285,12 @@ def gp_dopri5_solve(A, x0, ts, static, rtol=1e-7, atol=1e-9, safety=0.9,
     dt0 = jnp.minimum(100 * h0, h1).astype(f32)
 
     t0s = jnp.full((1, C), ts[0], f32)
-    zeros40 = jnp.zeros((_MP, C), f32)
+    zeros_c = jnp.zeros((5 * RP, C), f32)
     state = GPDopri5State(
         px=px, py=py,
         fx=pack_points(f0[:, :, 0]), fy=pack_points(f0[:, :, 1]),
         t0=t0s, t1=t0s, dt=dt0[None, :],
-        cx=zeros40.at[32:40].set(px), cy=zeros40.at[32:40].set(py),
+        cx=zeros_c.at[4 * RP:].set(px), cy=zeros_c.at[4 * RP:].set(py),
         nfe=jnp.full((1, C), 2.0, f32), nacc=jnp.zeros((1, C), f32),
         nrej=jnp.zeros((1, C), f32),
     )
@@ -296,15 +301,15 @@ def gp_dopri5_solve(A, x0, ts, static, rtol=1e-7, atol=1e-9, safety=0.9,
             return jnp.any(s.t1 < next_t) & budget
 
         def body(s):
-            return _pallas_step(s, next_t, consts, cfg, interpret)
+            return _pallas_step(s, next_t, consts, cfg, N, RP, interpret)
 
         state = jax.lax.while_loop(cond, body, state)
-        ex, ey = _interp_eval(state, next_t)
-        y = jnp.stack([ex[:_N].T, ey[:_N].T], axis=-1)   # (C, N, 2)
+        ex, ey = _interp_eval(state, next_t, RP)
+        y = jnp.stack([ex[:N].T, ey[:N].T], axis=-1)     # (C, N, 2)
         return state, y
 
     state, ys_tail = jax.lax.scan(advance, state, ts[1:])
-    y0_out = jnp.broadcast_to(x0.astype(f32), (C, _N, 2))
+    y0_out = jnp.broadcast_to(x0.astype(f32), (C, N, 2))
     ys = jnp.concatenate([y0_out[None], ys_tail], axis=0)
     stats = {
         "nfe": state.nfe[0].astype(jnp.int32),

@@ -27,29 +27,29 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_N = 5
-_RP = 8
-_M = 36
-_MP = 40
 _FAR = 1e9
 
 
-def _rhs_factory(sf, ell):
+def _pad8(n: int) -> int:
+    return ((n + 7) // 8) * 8
+
+
+def _rhs_factory(sf, ell, N, RP):
     sf2 = sf * sf
     inv2ell2 = 0.5 / (ell * ell)
     invell2 = 1.0 / (ell * ell)
 
     def rhs(sx, sy, ax, ay, zx, zy):
         outx, outy = [], []
-        for n in range(_N):
+        for n in range(N):
             dxn = sx[n : n + 1, :] - zx
             dyn = sy[n : n + 1, :] - zy
             K = sf2 * jnp.exp(-(dxn * dxn + dyn * dyn) * inv2ell2)
             outx.append(jnp.sum(K * ax, 0, keepdims=True))
             outy.append(jnp.sum(K * ay, 0, keepdims=True))
         pad = jnp.zeros_like(outx[0])
-        return (jnp.concatenate(outx + [pad] * (_RP - _N), 0),
-                jnp.concatenate(outy + [pad] * (_RP - _N), 0))
+        return (jnp.concatenate(outx + [pad] * (RP - N), 0),
+                jnp.concatenate(outy + [pad] * (RP - N), 0))
 
     def rhs_vjp(sx, sy, cx, cy, ax, ay, zx, zy):
         """(u_bar_x, u_bar_y, A_bar_x, A_bar_y) for cotangents (cx, cy) of
@@ -57,7 +57,7 @@ def _rhs_factory(sf, ell):
         ubx, uby = [], []
         abx = jnp.zeros_like(ax)
         aby = jnp.zeros_like(ay)
-        for n in range(_N):
+        for n in range(N):
             dxn = sx[n : n + 1, :] - zx
             dyn = sy[n : n + 1, :] - zy
             K = sf2 * jnp.exp(-(dxn * dxn + dyn * dyn) * inv2ell2)
@@ -72,32 +72,21 @@ def _rhs_factory(sf, ell):
             ubx.append(jnp.sum(w * (-dxn), 0, keepdims=True))
             uby.append(jnp.sum(w * (-dyn), 0, keepdims=True))
         pad = jnp.zeros_like(ubx[0])
-        return (jnp.concatenate(ubx + [pad] * (_RP - _N), 0),
-                jnp.concatenate(uby + [pad] * (_RP - _N), 0), abx, aby)
+        return (jnp.concatenate(ubx + [pad] * (RP - N), 0),
+                jnp.concatenate(uby + [pad] * (RP - N), 0), abx, aby)
 
     return rhs, rhs_vjp
 
 
-def _stage_points(px, py, dt, kx, ky):
-    """3/8-rule stage points u2..u4 from k1..k3 (ode/runge_kutta.rk4_alt)."""
-    u2x = px + dt / 3 * kx[0]
-    u2y = py + dt / 3 * ky[0]
-    u3x = px + dt * (-kx[0] / 3 + kx[1])
-    u3y = py + dt * (-ky[0] / 3 + ky[1])
-    u4x = px + dt * (kx[0] - kx[1] + kx[2])
-    u4y = py + dt * (ky[0] - ky[1] + ky[2])
-    return u2x, u2y, u3x, u3y, u4x, u4y
-
-
-def _make_fwd_kernel(sf, ell, T):
-    rhs, _ = _rhs_factory(sf, ell)
+def _make_fwd_kernel(sf, ell, T, N, RP):
+    rhs, _ = _rhs_factory(sf, ell, N, RP)
 
     def kernel(dts_ref, x0x_ref, x0y_ref, ax_ref, ay_ref, zx_ref, zy_ref,
                oxs_ref, oys_ref):
         ax, ay = ax_ref[:], ay_ref[:]
         zx, zy = zx_ref[:], zy_ref[:]
-        oxs_ref[0:_RP, :] = x0x_ref[:]
-        oys_ref[0:_RP, :] = x0y_ref[:]
+        oxs_ref[0:RP, :] = x0x_ref[:]
+        oys_ref[0:RP, :] = x0y_ref[:]
 
         def body(t, carry):
             px, py = carry
@@ -113,8 +102,8 @@ def _make_fwd_kernel(sf, ell, T):
             k4x, k4y = rhs(u4x, u4y, ax, ay, zx, zy)
             nx = px + dt / 8 * (k1x + 3 * k2x + 3 * k3x + k4x)
             ny = py + dt / 8 * (k1y + 3 * k2y + 3 * k3y + k4y)
-            oxs_ref[pl.ds((t + 1) * _RP, _RP), :] = nx
-            oys_ref[pl.ds((t + 1) * _RP, _RP), :] = ny
+            oxs_ref[pl.ds((t + 1) * RP, RP), :] = nx
+            oys_ref[pl.ds((t + 1) * RP, RP), :] = ny
             return nx, ny
 
         jax.lax.fori_loop(0, T - 1, body, (x0x_ref[:], x0y_ref[:]))
@@ -122,8 +111,8 @@ def _make_fwd_kernel(sf, ell, T):
     return kernel
 
 
-def _make_bwd_kernel(sf, ell, T):
-    rhs, rhs_vjp = _rhs_factory(sf, ell)
+def _make_bwd_kernel(sf, ell, T, N, RP):
+    rhs, rhs_vjp = _rhs_factory(sf, ell, N, RP)
 
     def kernel(dts_ref, xs_ref, ys_ref, gx_ref, gy_ref, ax_ref, ay_ref,
                zx_ref, zy_ref, oax_ref, oay_ref, ox0x_ref, ox0y_ref):
@@ -134,11 +123,11 @@ def _make_bwd_kernel(sf, ell, T):
             lx, ly, abx, aby = carry
             t = T - 2 - i                     # step index T-2 .. 0
             dt = dts_ref[t]
-            px = xs_ref[pl.ds(t * _RP, _RP), :]
-            py = ys_ref[pl.ds(t * _RP, _RP), :]
+            px = xs_ref[pl.ds(t * RP, RP), :]
+            py = ys_ref[pl.ds(t * RP, RP), :]
             # inject the observation cotangent at the step's endpoint
-            lx = lx + gx_ref[pl.ds((t + 1) * _RP, _RP), :]
-            ly = ly + gy_ref[pl.ds((t + 1) * _RP, _RP), :]
+            lx = lx + gx_ref[pl.ds((t + 1) * RP, RP), :]
+            ly = ly + gy_ref[pl.ds((t + 1) * RP, RP), :]
 
             # recompute stages
             k1x, k1y = rhs(px, py, ax, ay, zx, zy)
@@ -203,14 +192,14 @@ def _make_bwd_kernel(sf, ell, T):
 
             return pbx, pby, abx, aby
 
-        z8 = jnp.zeros_like(gx_ref[0:_RP, :])
+        z8 = jnp.zeros_like(gx_ref[0:RP, :])
         z40 = jnp.zeros_like(ax)
         lx, ly, abx, aby = jax.lax.fori_loop(
             0, T - 1, body, (z8, z8, z40, z40)
         )
         # cotangent for x0 includes its own observation term
-        ox0x_ref[:] = lx + gx_ref[0:_RP, :]
-        ox0y_ref[:] = ly + gy_ref[0:_RP, :]
+        ox0x_ref[:] = lx + gx_ref[0:RP, :]
+        ox0y_ref[:] = ly + gy_ref[0:RP, :]
         oax_ref[:] = abx
         oay_ref[:] = aby
 
@@ -219,15 +208,17 @@ def _make_bwd_kernel(sf, ell, T):
 
 def _pack_consts(A, Z, C):
     f32 = jnp.float32
+    M = Z.shape[0]
+    MP = _pad8(M)
     ax = jnp.concatenate(
-        [A[:, :, 0].astype(f32).T, jnp.zeros((_MP - _M, C), f32)], 0
+        [A[:, :, 0].astype(f32).T, jnp.zeros((MP - M, C), f32)], 0
     )
     ay = jnp.concatenate(
-        [A[:, :, 1].astype(f32).T, jnp.zeros((_MP - _M, C), f32)], 0
+        [A[:, :, 1].astype(f32).T, jnp.zeros((MP - M, C), f32)], 0
     )
     Zc = Z.astype(f32)
-    zx = jnp.concatenate([Zc[:, 0], jnp.full((_MP - _M,), _FAR, f32)])[:, None]
-    zy = jnp.concatenate([Zc[:, 1], jnp.full((_MP - _M,), _FAR, f32)])[:, None]
+    zx = jnp.concatenate([Zc[:, 0], jnp.full((MP - M,), _FAR, f32)])[:, None]
+    zy = jnp.concatenate([Zc[:, 1], jnp.full((MP - M,), _FAR, f32)])[:, None]
     return ax, ay, zx, zy
 
 
@@ -239,7 +230,7 @@ def _traj(A, x0, ts, Z, sf, ell, tile, interpret):
 def gp_rk4_trajectory(A, x0, ts, static, tile=512, interpret=False):
     """rk4 (3/8-rule) trajectories of the GP field for C chains.
 
-    A (C, 36, 2), x0 (N=5, 2) shared, ts (T,).  Returns (T, C, N, 2).
+    A (C, M, 2), x0 (N, 2) shared, ts (T,).  Returns (T, C, N, 2).
     C must be a multiple of 128.  Differentiable w.r.t. A (and x0).
     """
     return _traj(A, x0, ts, static.Z, float(static.sf), float(static.ell),
@@ -253,36 +244,39 @@ def _fwd_impl(A, x0, ts, Z, sf, ell, tile, interpret):
         raise ValueError(f"chains {C} must tile by {tile} (multiple of 128)")
     f32 = jnp.float32
     T = ts.shape[0]
+    N = x0.shape[-2]
+    RP = _pad8(N)
+    MP = _pad8(Z.shape[0])
     dts = jnp.diff(ts.astype(f32))
     ax, ay, zx, zy = _pack_consts(A, Z, C)
-    x0b = jnp.broadcast_to(x0.astype(f32), (C, _N, 2))
-    x0x = jnp.concatenate([x0b[:, :, 0].T, jnp.zeros((_RP - _N, C), f32)], 0)
-    x0y = jnp.concatenate([x0b[:, :, 1].T, jnp.zeros((_RP - _N, C), f32)], 0)
+    x0b = jnp.broadcast_to(x0.astype(f32), (C, N, 2))
+    x0x = jnp.concatenate([x0b[:, :, 0].T, jnp.zeros((RP - N, C), f32)], 0)
+    x0y = jnp.concatenate([x0b[:, :, 1].T, jnp.zeros((RP - N, C), f32)], 0)
 
-    kernel = _make_fwd_kernel(sf, ell, T)
+    kernel = _make_fwd_kernel(sf, ell, T, N, RP)
     vm = lambda bs=None, im=None: pl.BlockSpec(bs, im, memory_space=pltpu.VMEM)
     xs, ys = pl.pallas_call(
         kernel,
         grid=(C // tile,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            vm((_RP, tile), lambda i: (0, i)),
-            vm((_RP, tile), lambda i: (0, i)),
-            vm((_MP, tile), lambda i: (0, i)),
-            vm((_MP, tile), lambda i: (0, i)),
-            vm((_MP, 1), lambda i: (0, 0)),
-            vm((_MP, 1), lambda i: (0, 0)),
+            vm((RP, tile), lambda i: (0, i)),
+            vm((RP, tile), lambda i: (0, i)),
+            vm((MP, tile), lambda i: (0, i)),
+            vm((MP, tile), lambda i: (0, i)),
+            vm((MP, 1), lambda i: (0, 0)),
+            vm((MP, 1), lambda i: (0, 0)),
         ],
         out_specs=[
-            vm((T * _RP, tile), lambda i: (0, i)),
-            vm((T * _RP, tile), lambda i: (0, i)),
+            vm((T * RP, tile), lambda i: (0, i)),
+            vm((T * RP, tile), lambda i: (0, i)),
         ],
-        out_shape=[jax.ShapeDtypeStruct((T * _RP, C), f32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((T * RP, C), f32)] * 2,
         interpret=interpret,
     )(dts, x0x, x0y, ax, ay, zx, zy)
 
     traj = jnp.stack(
-        [xs.reshape(T, _RP, C)[:, :_N], ys.reshape(T, _RP, C)[:, :_N]],
+        [xs.reshape(T, RP, C)[:, :N], ys.reshape(T, RP, C)[:, :N]],
         axis=-1,
     )                                            # (T, N, C, 2)
     traj = jnp.moveaxis(traj, 2, 1)              # (T, C, N, 2)
@@ -300,45 +294,49 @@ def _bwd_rule(sf, ell, tile, interpret, res, g):
     tile_ = min(tile, C)
     f32 = jnp.float32
     T = ts.shape[0]
+    N = x0.shape[-2]
+    RP = _pad8(N)
+    M = Z.shape[0]
+    MP = _pad8(M)
     dts = jnp.diff(ts.astype(f32))
     ax, ay, zx, zy = _pack_consts(A, Z, C)
 
     g = g.astype(f32)                            # (T, C, N, 2)
     gT = jnp.moveaxis(g, 1, 2)                   # (T, N, C, 2)
-    zpad = jnp.zeros((T, _RP - _N, C), f32)
-    gx = jnp.concatenate([gT[..., 0], zpad], axis=1).reshape(T * _RP, C)
-    gy = jnp.concatenate([gT[..., 1], zpad], axis=1).reshape(T * _RP, C)
+    zpad = jnp.zeros((T, RP - N, C), f32)
+    gx = jnp.concatenate([gT[..., 0], zpad], axis=1).reshape(T * RP, C)
+    gy = jnp.concatenate([gT[..., 1], zpad], axis=1).reshape(T * RP, C)
 
-    kernel = _make_bwd_kernel(sf, ell, T)
+    kernel = _make_bwd_kernel(sf, ell, T, N, RP)
     vm = lambda bs, im: pl.BlockSpec(bs, im, memory_space=pltpu.VMEM)
     abx, aby, x0bx, x0by = pl.pallas_call(
         kernel,
         grid=(C // tile_,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            vm((T * _RP, tile_), lambda i: (0, i)),
-            vm((T * _RP, tile_), lambda i: (0, i)),
-            vm((T * _RP, tile_), lambda i: (0, i)),
-            vm((T * _RP, tile_), lambda i: (0, i)),
-            vm((_MP, tile_), lambda i: (0, i)),
-            vm((_MP, tile_), lambda i: (0, i)),
-            vm((_MP, 1), lambda i: (0, 0)),
-            vm((_MP, 1), lambda i: (0, 0)),
+            vm((T * RP, tile_), lambda i: (0, i)),
+            vm((T * RP, tile_), lambda i: (0, i)),
+            vm((T * RP, tile_), lambda i: (0, i)),
+            vm((T * RP, tile_), lambda i: (0, i)),
+            vm((MP, tile_), lambda i: (0, i)),
+            vm((MP, tile_), lambda i: (0, i)),
+            vm((MP, 1), lambda i: (0, 0)),
+            vm((MP, 1), lambda i: (0, 0)),
         ],
         out_specs=[
-            vm((_MP, tile_), lambda i: (0, i)),
-            vm((_MP, tile_), lambda i: (0, i)),
-            vm((_RP, tile_), lambda i: (0, i)),
-            vm((_RP, tile_), lambda i: (0, i)),
+            vm((MP, tile_), lambda i: (0, i)),
+            vm((MP, tile_), lambda i: (0, i)),
+            vm((RP, tile_), lambda i: (0, i)),
+            vm((RP, tile_), lambda i: (0, i)),
         ],
-        out_shape=[jax.ShapeDtypeStruct((_MP, C), f32)] * 2
-        + [jax.ShapeDtypeStruct((_RP, C), f32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((MP, C), f32)] * 2
+        + [jax.ShapeDtypeStruct((RP, C), f32)] * 2,
         interpret=interpret,
     )(dts, xs, ys, gx, gy, ax, ay, zx, zy)
 
-    A_bar = jnp.stack([abx[:_M].T, aby[:_M].T], axis=-1)      # (C, 36, 2)
+    A_bar = jnp.stack([abx[:M].T, aby[:M].T], axis=-1)        # (C, M, 2)
     x0_bar = jnp.stack(
-        [jnp.sum(x0bx[:_N], axis=1), jnp.sum(x0by[:_N], axis=1)], axis=-1
+        [jnp.sum(x0bx[:N], axis=1), jnp.sum(x0by[:N], axis=1)], axis=-1
     )                                                          # (N, 2)
     return (A_bar.astype(A.dtype), x0_bar.astype(x0.dtype),
             jnp.zeros_like(ts), jnp.zeros_like(Z))
@@ -359,7 +357,7 @@ def make_fused_gp_potential(static, x0, ts, Y, tile=512, interpret=False):
 
     def potential_batch(params):
         """Batched potential: params leaves have leading chain axis C."""
-        U = params["U"].astype(jnp.float32)              # (C, 36, 2)
+        U = params["U"].astype(jnp.float32)              # (C, M, 2)
         logsn = params["logsn"].astype(jnp.float32)      # (C, 2)
         A = jnp.einsum("mk,ckd->cmd", KzzinvL, U)
         traj = gp_rk4_trajectory(A, x0, ts, static, tile, interpret)
