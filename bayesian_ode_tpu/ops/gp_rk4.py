@@ -345,10 +345,12 @@ def _bwd_rule(sf, ell, tile, interpret, res, g):
 _traj.defvjp(_fwd_rule, _bwd_rule)
 
 
-def make_fused_gp_potential(static, x0, ts, Y, tile=512, interpret=False):
+def make_fused_gp_potential(static, x0, ts, Y, tile=512, interpret=None):
     """Drop-in GP posterior potential using the fused rk4 kernels
     (matches models.kernel_regression.make_potential numerically; params
     {'U', 'logsn'} batched over chains are handled by vmap as usual)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     Y = jnp.asarray(Y, jnp.float32)
     D = Y.shape[-1]
     numel = Y.size

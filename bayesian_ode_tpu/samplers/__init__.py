@@ -22,6 +22,7 @@ from .langevin import (  # noqa: F401
     mmala,
     psgld,
     sgld,
+    sgld_batched,
 )
 from .metrics import (  # noqa: F401
     flat_hessian,
@@ -55,6 +56,7 @@ __all__ = [
     "sample_chains",
     "schedules",
     "sgld",
+    "sgld_batched",
     "sgrhmc",
     "softabs_metric",
     "split_rhat",

@@ -200,6 +200,53 @@ def asgld(potential_fn: Callable, step_size, alpha: float = 0.99,
     return psgld(potential_fn, step_size, alpha, lambda_, add_noise)
 
 
+class BatchLangevinState(NamedTuple):
+    position: PyTree      # leaves carry a leading chain axis C
+    potential: jax.Array  # (C,)
+    step: jax.Array
+
+
+def sgld_batched(potential_batch: Callable, step_size) -> TransitionKernel:
+    """SGLD over an entire chain batch in one kernel step.
+
+    `potential_batch(params)` maps leaves with a leading chain axis to a
+    (C,) vector of potentials — the contract of fused batch potentials
+    like ops.gp_rk4.make_fused_gp_potential, whose Pallas kernels need the
+    whole batch in one call (per-chain vmap would defeat the fusion).
+    Use with `sample_chain` (not `sample_chains`): the batch axis lives
+    inside the state.  Same update rule as `sgld`.
+    """
+    sched = schedules.resolve(step_size)
+
+    def value_and_grads(position):
+        pots, grads = jax.value_and_grad(
+            lambda p: jnp.sum(potential_batch(p))
+        )(position)
+        return potential_batch(position), grads
+
+    def init(position):
+        return BatchLangevinState(
+            position, potential_batch(position), jnp.asarray(0, jnp.int32)
+        )
+
+    def step(key, state):
+        lr = sched(state.step)
+        _, grads = jax.value_and_grad(
+            lambda p: jnp.sum(potential_batch(p))
+        )(state.position)
+        noise = tree_random_normal(key, state.position)
+        new_pos = jax.tree.map(
+            lambda p, g, n: p - lr * g - langevin_noise_scale(lr) * n,
+            state.position, grads, noise,
+        )
+        pots = potential_batch(new_pos)
+        info = {"potential": pots, "accepted": jnp.asarray(True),
+                "step_size": lr}
+        return BatchLangevinState(new_pos, pots, state.step + 1), info
+
+    return TransitionKernel(init, step)
+
+
 class AdamSGLDState(NamedTuple):
     position: PyTree
     potential: jax.Array

@@ -112,3 +112,12 @@ def test_checkpoint_roundtrip(tmp_path):
     assert np.array_equal(out["a"], np.asarray(tree["a"]))
     with pytest.raises(ValueError):
         load_pytree(path, {"a": tree["a"]})
+
+
+def test_run_sampler_fused_engine(tmp_path, tiny_data):
+    cfg = tiny_config("SGLD", engine="fused", num_chains=128)
+    summary = run_sampler(cfg, tiny_data, str(tmp_path), make_plots=False)
+    assert np.isfinite(summary["min_potential"])
+    assert summary["num_chains"] == 128
+    out_dir = tmp_path / "SGLD" / "1"
+    assert (out_dir / "chain.npz").exists()
