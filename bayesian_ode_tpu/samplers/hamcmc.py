@@ -31,9 +31,10 @@ Window variants (proposal base / curvature pairs), matching the reference:
 Curvature-pair filtering: accept a pair iff s^T y > eps * s^T s
 (eps = 1e-8, langevin.py:875-882); trust-region damping y += trust_reg * s
 (langevin.py:874).  Warm-up runs plain SGLD while the memory fills
-(langevin.py:1068-1069); the reference's accept/reject step is incomplete
-and never called (langevin.py:1003-1047) — like the reference, every
-proposal is accepted.
+(langevin.py:1068-1069).  By default every proposal is accepted (the
+reference's accept/reject step is incomplete and never called,
+langevin.py:1003-1047); pass accept_reject=True for the paper-faithful
+Metropolis correction (see hamcmc docstring).
 """
 from __future__ import annotations
 
@@ -53,6 +54,7 @@ class HAMCMCState(NamedTuple):
     grad: PyTree
     params_buf: jax.Array   # (K, P) past positions, oldest first
     grads_buf: jax.Array    # (K, P)
+    pots_buf: jax.Array     # (K,) potentials at the stored positions
     s_buf: jax.Array        # (M-1, P) curvature pairs, oldest first
     y_buf: jax.Array        # (M-1, P)
     pair_valid: jax.Array   # (M-1,) bool
@@ -142,6 +144,29 @@ def hamcmc_products(s_buf, y_buf, valid, H_gamma, grad_vec, noise_vec):
     return Hg, Sn
 
 
+def _C_apply(z, us, vs, c0):
+    w = c0 * z
+    for u, v in zip(us, vs):
+        w = w - u * jnp.dot(v, w)
+    return w
+
+
+def _CT_apply(z, us, vs, c0):
+    w = z
+    for u, v in zip(reversed(us), reversed(vs)):
+        w = w - v * jnp.dot(u, w)
+    return c0 * w
+
+
+def hamcmc_B_product(s_buf, y_buf, valid, H_gamma, z):
+    """B @ z = H^{-1} @ z via the C-factor product (for MH quadratic
+    forms)."""
+    b0 = 1.0 / H_gamma
+    c0 = jnp.sqrt(jnp.asarray(b0))
+    us, vs, _, _ = _build_factors(s_buf, y_buf, valid, jnp.asarray(b0))
+    return _C_apply(_CT_apply(z, us, vs, c0), us, vs, c0)
+
+
 def hamcmc_dense_oracle(s_buf, y_buf, valid, H_gamma):
     """Dense BFGS inverse-Hessian build, the test oracle mirroring
     `_compute_vector_prod_old` (langevin.py:669-715)."""
@@ -161,10 +186,25 @@ def hamcmc_dense_oracle(s_buf, y_buf, valid, H_gamma):
 def hamcmc(potential_fn: Callable, step_size, memory: int = 5,
            variant: int = 1, trust_reg: float = 1.0, H_gamma: float = 1.0,
            pair_eps: float = 1e-8, warmup_extra: int = 100,
-           add_noise: bool = True) -> TransitionKernel:
+           add_noise: bool = True,
+           accept_reject: bool = False) -> TransitionKernel:
     """HAMCMC transition kernel.  `memory` is the reference constructor's
     `memory` argument (internally M = memory + 1, langevin.py:645);
-    `variant` in {1,2,3,4} selects the window scheme."""
+    `variant` in {1,2,3,4} selects the window scheme.
+
+    accept_reject=True adds the Metropolis correction of the HAMCMC paper
+    (arXiv:1602.03442 Alg. 1) that the reference left stubbed
+    (langevin.py:1003-1047): with proposal
+    theta* ~ N(base - lr*H*grad(base), 2*lr*H),
+    log alpha = U(base) - U(theta*)
+              - 1/(4 lr) (base - theta* + lr H g*)^T B (.)
+              + 1/(4 lr) (theta* - base + lr H g_base)^T B (.)
+    where B = H^{-1} is applied matrix-free.  Forward and reverse use the
+    same H (its log-dets cancel) — exact for variant 1, whose curvature
+    window excludes both endpoints of the move; for variants 2-4 the
+    correction is approximate.  Rejection restores the base entry, as in
+    the paper (theta_t = theta_{t-M}).  Costs one extra gradient
+    evaluation per step."""
     if variant not in (1, 2, 3, 4):
         raise ValueError("variant must be 1..4")
     sched = schedules.resolve(step_size)
@@ -186,6 +226,7 @@ def hamcmc(potential_fn: Callable, step_size, memory: int = 5,
             grad=g,
             params_buf=jnp.zeros((K, P), vec.dtype),
             grads_buf=jnp.zeros((K, P), vec.dtype),
+            pots_buf=jnp.zeros((K,), vec.dtype),
             s_buf=jnp.zeros((n_pairs, P), vec.dtype),
             y_buf=jnp.zeros((n_pairs, P), vec.dtype),
             pair_valid=jnp.zeros((n_pairs,), bool),
@@ -217,6 +258,7 @@ def hamcmc(potential_fn: Callable, step_size, memory: int = 5,
 
     def step(key, state):
         lr = sched(state.step)
+        key, key_mh = jax.random.split(key)
         vec, unravel = ravel_pytree(state.position)
         grad_vec, _ = ravel_pytree(state.grad)
         xi = jax.random.normal(key, vec.shape, vec.dtype)
@@ -233,6 +275,8 @@ def hamcmc(potential_fn: Callable, step_size, memory: int = 5,
         # so the drift gradient is taken at the base entry.
         params_buf = _shift_in(state.params_buf, vec)
         grads_buf = _shift_in(state.grads_buf, grad_vec)
+        pots_buf = jnp.concatenate([state.pots_buf[1:],
+                                    state.potential[None].astype(vec.dtype)])
         filled = jnp.minimum(state.filled + 1, K)
 
         # --- warm-up: plain SGLD on the flat vector (step_without_metric,
@@ -252,6 +296,35 @@ def hamcmc(potential_fn: Callable, step_size, memory: int = 5,
             metric_new = metric_new - langevin_noise_scale(lr) * Sn
 
         new_vec = jnp.where(in_warmup, sgld_new, metric_new)
+        accepted = jnp.asarray(True)
+
+        if accept_reject:
+            # Metropolis correction (see docstring); active outside warm-up.
+            u_prop, g_prop_tree = value_and_grad(unravel(metric_new))
+            g_prop, _ = ravel_pytree(g_prop_tree)
+            u_base = pots_buf[base_index()]
+            Hg_prop, _ = hamcmc_products(
+                state.s_buf, state.y_buf, state.pair_valid, H_gamma, g_prop,
+                xi,
+            )
+            fwd = metric_new - base + lr * Hg
+            rev = base - metric_new + lr * Hg_prop
+            Bfwd = hamcmc_B_product(state.s_buf, state.y_buf,
+                                    state.pair_valid, H_gamma, fwd)
+            Brev = hamcmc_B_product(state.s_buf, state.y_buf,
+                                    state.pair_valid, H_gamma, rev)
+            log_alpha = (
+                u_base - u_prop
+                - 1.0 / (4 * lr) * jnp.dot(rev, Brev)
+                + 1.0 / (4 * lr) * jnp.dot(fwd, Bfwd)
+            )
+            mh_accept = jnp.isfinite(log_alpha) & (
+                jnp.log(jax.random.uniform(key_mh)) < log_alpha
+            )
+            accepted = in_warmup | mh_accept
+            new_vec = jnp.where(
+                in_warmup, new_vec, jnp.where(mh_accept, metric_new, base)
+            )
 
         s, y = pair_from(params_buf, grads_buf)
         buffers_full = filled >= K
@@ -274,6 +347,7 @@ def hamcmc(potential_fn: Callable, step_size, memory: int = 5,
             grad=g,
             params_buf=params_buf,
             grads_buf=grads_buf,
+            pots_buf=pots_buf,
             s_buf=s_buf,
             y_buf=y_buf,
             pair_valid=pair_valid,
@@ -282,7 +356,7 @@ def hamcmc(potential_fn: Callable, step_size, memory: int = 5,
         )
         info = {
             "potential": u,
-            "accepted": jnp.asarray(True),
+            "accepted": accepted,
             "step_size": lr,
             "using_metric": ~in_warmup,
             "n_pairs": jnp.sum(pair_valid.astype(jnp.int32)),

@@ -245,3 +245,14 @@ def test_adam_sgld_gaussian_moments():
     kernel = samplers.adam_sgld(gauss_potential, step_size=0.01, a=0.5)
     positions, _ = run_chains(kernel, 22, num_samples=2000, burn_in=500)
     check_moments(positions, mean_tol=0.25, cov_tol=0.5)
+
+
+def test_hamcmc_metropolis_correction():
+    # paper-faithful MH option (the reference's accept_or_reject is a
+    # stub): exactness on the Gaussian target with reasonable acceptance
+    kernel = samplers.hamcmc(gauss_potential, step_size=0.05, memory=3,
+                             variant=1, warmup_extra=20, accept_reject=True)
+    positions, infos = run_chains(kernel, 31, num_samples=1500, burn_in=300)
+    acc = float(jnp.mean(infos["accepted"][:, -500:].astype(jnp.float32)))
+    assert 0.1 < acc <= 1.0, acc
+    check_moments(positions, mean_tol=0.25, cov_tol=0.4)
