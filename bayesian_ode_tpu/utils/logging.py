@@ -46,10 +46,9 @@ def _jsonable(x):
     try:
         import numpy as np
 
-        if isinstance(x, np.ndarray):
-            return x.tolist()
-        if isinstance(x, (np.floating, np.integer)):
-            return x.item()
+        arr = np.asarray(x)
+        if arr.ndim == 0:
+            return arr.item()
+        return arr.tolist()
     except Exception:
-        pass
-    return float(x)
+        return float(x)

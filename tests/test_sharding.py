@@ -74,3 +74,43 @@ def test_sharded_svgd_converges():
     cov = jnp.cov(out.T)
     assert jnp.max(jnp.abs(mean)) < 0.05
     assert jnp.max(jnp.abs(cov - COV)) < 0.1
+
+
+@needs_devices
+def test_fused_rk4_kernel_under_shard_map():
+    # the fused Pallas trajectory kernel composes with chain-sharded
+    # shard_map (the multi-chip path for the fused SGLD engine)
+    from jax.sharding import PartitionSpec as P
+
+    from bayesian_ode_tpu.models import kernel_regression as kr
+    from bayesian_ode_tpu.models import make_dataset
+    from bayesian_ode_tpu.ops.gp_rk4 import gp_rk4_trajectory
+
+    data = make_dataset(jax.random.PRNGKey(2), "vdp", N=5, T=10, t_max=2.0,
+                        noise=0.05, x0_scale=1.2)
+    Z = kr.make_inducing_grid(data["Y"], M=4)
+    static = kr.make_static(Z, sf=1.0, ell=0.75)
+    f32 = jnp.float32
+    static32 = static._replace(Z=static.Z.astype(f32),
+                               KzzinvL=static.KzzinvL.astype(f32),
+                               Kzzinv=static.Kzzinv.astype(f32))
+    p0 = kr.init_params(data["Y"], data["t"], static, noise=0.05)
+    C = 8 * 128
+    A = jnp.einsum(
+        "mk,ckd->cmd", static32.KzzinvL,
+        p0["U"].astype(f32)[None]
+        + 1e-3 * jax.random.normal(jax.random.PRNGKey(0), (C, 16, 2), f32),
+    )
+    x0 = data["x0"].astype(f32)
+    ts = data["t"].astype(f32)
+
+    mesh = make_mesh(8, axis="chain")
+    sharded = jax.jit(jax.shard_map(
+        lambda A_: gp_rk4_trajectory(A_, x0, ts, static32, tile=128,
+                                     interpret=True),
+        mesh=mesh, in_specs=P("chain", None, None),
+        out_specs=P(None, "chain", None, None), check_vma=False,
+    ))
+    out = sharded(A)
+    ref = gp_rk4_trajectory(A, x0, ts, static32, tile=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

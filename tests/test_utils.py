@@ -1,0 +1,41 @@
+"""Utility-layer gates: meters, profiling, logging."""
+import json
+
+import jax
+import jax.numpy as jnp
+
+from bayesian_ode_tpu.utils.logging import RunLogger
+from bayesian_ode_tpu.utils.meters import RunningAverageMeter
+from bayesian_ode_tpu.utils.profiling import device_timer, time_compiled
+
+
+def test_running_average_meter():
+    m = RunningAverageMeter(momentum=0.5)
+    m.update(2.0)
+    assert m.avg == 2.0
+    m.update(4.0)
+    assert abs(m.avg - 3.0) < 1e-12
+    m.reset()
+    assert m.val is None and m.avg == 0.0
+
+
+def test_device_timer_and_time_compiled():
+    x = jnp.ones((64, 64))
+    with device_timer("t", sync_tree=x, echo=False) as r:
+        y = (x @ x).block_until_ready()
+    assert r["seconds"] > 0
+
+    fn = jax.jit(lambda a: a @ a)
+    compile_s, steady_s = time_compiled(fn, x, iters=3)
+    assert compile_s > 0 and steady_s >= 0
+
+
+def test_run_logger(tmp_path):
+    path = str(tmp_path / "log.jsonl")
+    with RunLogger(path) as log:
+        log.log({"event": "a", "x": 1.5})
+        log.log({"event": "b", "arr": jnp.asarray([1.0, 2.0])})
+    lines = open(path).read().splitlines()
+    assert len(lines) == 2
+    rec = json.loads(lines[1])
+    assert rec["event"] == "b" and rec["arr"] == [1.0, 2.0]
