@@ -57,7 +57,7 @@ class GPDopri5State(NamedTuple):
 
 def _make_kernel(sf: float, ell: float, rtol: float, atol: float,
                  safety: float, ifactor: float, dfactor: float,
-                 N: int, RP: int):
+                 N: int, RP: int, steps_per_call: int = 1):
     sf2 = sf * sf
     inv2ell2 = 0.5 / (ell * ell)
     alphas = DOPRI5.alpha
@@ -72,133 +72,147 @@ def _make_kernel(sf: float, ell: float, rtol: float, atol: float,
                opx, opy, ofx, ofy, ot0, ot1, odt, ocx, ocy, onfe, onacc,
                onrej):
         next_t = next_t_ref[0]
-        px, py = px_ref[:], py_ref[:]
-        fx, fy = fx_ref[:], fy_ref[:]
-        t1 = t1_ref[:]
-        dt = dt_ref[:]
         ax, ay = ax_ref[:], ay_ref[:]
         zx, zy = zx_ref[:], zy_ref[:]
 
-        active = t1 < next_t                           # (1, C)
+        def one_step(carry):
+            (px, py, fx, fy, t0c, t1, dt, cxc, cyc, nfe, nacc, nrej) = carry
+            active = t1 < next_t                       # (1, C)
 
-        def rhs(sx, sy):
-            """GP field at the N points: f = K(x, Z) A, all VPU."""
-            outx, outy = [], []
-            for n in range(N):
-                dxn = sx[n : n + 1, :] - zx            # (40, C)
-                dyn = sy[n : n + 1, :] - zy
-                K = sf2 * jnp.exp(-(dxn * dxn + dyn * dyn) * inv2ell2)
-                outx.append(jnp.sum(K * ax, axis=0, keepdims=True))
-                outy.append(jnp.sum(K * ay, axis=0, keepdims=True))
-            pad = jnp.zeros_like(outx[0])
-            return (jnp.concatenate(outx + [pad] * (RP - N), 0),
-                    jnp.concatenate(outy + [pad] * (RP - N), 0))
+            def rhs(sx, sy):
+                """GP field at the N points: f = K(x, Z) A, all VPU."""
+                outx, outy = [], []
+                for n in range(N):
+                    dxn = sx[n : n + 1, :] - zx            # (40, C)
+                    dyn = sy[n : n + 1, :] - zy
+                    K = sf2 * jnp.exp(-(dxn * dxn + dyn * dyn) * inv2ell2)
+                    outx.append(jnp.sum(K * ax, axis=0, keepdims=True))
+                    outy.append(jnp.sum(K * ay, axis=0, keepdims=True))
+                pad = jnp.zeros_like(outx[0])
+                return (jnp.concatenate(outx + [pad] * (RP - N), 0),
+                        jnp.concatenate(outy + [pad] * (RP - N), 0))
 
-        # --- RK stages (FSAL: 6 evaluations) ---
-        kx = [fx]
-        ky = [fy]
-        for beta_i in betas:
-            incx = sum(b * k for b, k in zip(beta_i, kx) if b != 0)
-            incy = sum(b * k for b, k in zip(beta_i, ky) if b != 0)
-            sx = px + dt * incx
-            sy = py + dt * incy
-            fxi, fyi = rhs(sx, sy)
-            kx.append(fxi)
-            ky.append(fyi)
-        y1x, y1y = sx, sy                # last stage is (t1, y1) (FSAL)
-        f1x, f1y = kx[-1], ky[-1]
+            # --- RK stages (FSAL: 6 evaluations) ---
+            kx = [fx]
+            ky = [fy]
+            for beta_i in betas:
+                incx = sum(b * k for b, k in zip(beta_i, kx) if b != 0)
+                incy = sum(b * k for b, k in zip(beta_i, ky) if b != 0)
+                sx = px + dt * incx
+                sy = py + dt * incy
+                fxi, fyi = rhs(sx, sy)
+                kx.append(fxi)
+                ky.append(fyi)
+            y1x, y1y = sx, sy                # last stage is (t1, y1) (FSAL)
+            f1x, f1y = kx[-1], ky[-1]
 
-        errx = dt * sum(c * k for c, k in zip(c_err, kx) if c != 0)
-        erry = dt * sum(c * k for c, k in zip(c_err, ky) if c != 0)
+            errx = dt * sum(c * k for c, k in zip(c_err, kx) if c != 0)
+            erry = dt * sum(c * k for c, k in zip(c_err, ky) if c != 0)
 
-        # --- error ratio (mean square over the 10 valid components) ---
-        eps = jnp.float32(1.1920929e-07)
-        row_mask = jax.lax.broadcasted_iota(jnp.int32, (RP, 1), 0) < N
+            # --- error ratio (mean square over the 10 valid components) ---
+            eps = jnp.float32(1.1920929e-07)
+            row_mask = jax.lax.broadcasted_iota(jnp.int32, (RP, 1), 0) < N
 
-        def comp_ratio(err, y0, y1):
-            mag = jnp.maximum(jnp.abs(y0), jnp.abs(y1))
-            tol = jnp.maximum(atol + rtol * mag, _ULPS * eps * mag)
-            r = err / tol
-            return jnp.sum(jnp.where(row_mask, r * r, 0.0), axis=0,
-                           keepdims=True)
+            def comp_ratio(err, y0, y1):
+                mag = jnp.maximum(jnp.abs(y0), jnp.abs(y1))
+                tol = jnp.maximum(atol + rtol * mag, _ULPS * eps * mag)
+                r = err / tol
+                return jnp.sum(jnp.where(row_mask, r * r, 0.0), axis=0,
+                               keepdims=True)
 
-        ratio = (comp_ratio(errx, px, y1x) + comp_ratio(erry, py, y1y)) / (
-            2 * N
-        )                                                # (1, C)
-        accept = ratio <= 1.0
+            ratio = (comp_ratio(errx, px, y1x) + comp_ratio(erry, py, y1y)) / (
+                2 * N
+            )                                                # (1, C)
+            accept = ratio <= 1.0
 
-        # --- PI controller (ode/step_control.optimal_step_size) ---
-        dfac = jnp.where(ratio < 1.0, 1.0, dfactor)
-        err_nrm = jnp.sqrt(jnp.maximum(ratio, jnp.float32(1e-38)))
-        factor = jnp.maximum(
-            1.0 / ifactor,
-            jnp.minimum(err_nrm ** (1.0 / order) / safety, 1.0 / dfac),
-        )
-        factor = jnp.where(jnp.isfinite(factor), factor, 1.0 / dfac)
-        dt_next = jnp.where(ratio == 0.0, dt * ifactor, dt / factor)
+            # --- PI controller (ode/step_control.optimal_step_size) ---
+            dfac = jnp.where(ratio < 1.0, 1.0, dfactor)
+            err_nrm = jnp.sqrt(jnp.maximum(ratio, jnp.float32(1e-38)))
+            factor = jnp.maximum(
+                1.0 / ifactor,
+                jnp.minimum(err_nrm ** (1.0 / order) / safety, 1.0 / dfac),
+            )
+            factor = jnp.where(jnp.isfinite(factor), factor, 1.0 / dfac)
+            dt_next = jnp.where(ratio == 0.0, dt * ifactor, dt / factor)
 
-        # --- dense-output quartic fit (ode/interp.interp_fit) ---
-        midx = px + dt * sum(c * k for c, k in zip(c_mid, kx) if c != 0)
-        midy = py + dt * sum(c * k for c, k in zip(c_mid, ky) if c != 0)
+            # --- dense-output quartic fit (ode/interp.interp_fit) ---
+            midx = px + dt * sum(c * k for c, k in zip(c_mid, kx) if c != 0)
+            midy = py + dt * sum(c * k for c, k in zip(c_mid, ky) if c != 0)
 
-        def fit(y0, y1, ymid, f0, f1):
-            a = -2 * dt * f0 + 2 * dt * f1 - 8 * y0 - 8 * y1 + 16 * ymid
-            b = 5 * dt * f0 - 3 * dt * f1 + 18 * y0 + 14 * y1 - 32 * ymid
-            c = -4 * dt * f0 + dt * f1 - 11 * y0 - 5 * y1 + 16 * ymid
-            d = dt * f0
-            return jnp.concatenate([a, b, c, d, y0], axis=0)   # (40, C)
+            def fit(y0, y1, ymid, f0, f1):
+                a = -2 * dt * f0 + 2 * dt * f1 - 8 * y0 - 8 * y1 + 16 * ymid
+                b = 5 * dt * f0 - 3 * dt * f1 + 18 * y0 + 14 * y1 - 32 * ymid
+                c = -4 * dt * f0 + dt * f1 - 11 * y0 - 5 * y1 + 16 * ymid
+                d = dt * f0
+                return jnp.concatenate([a, b, c, d, y0], axis=0)   # (40, C)
 
-        new_cx = fit(px, y1x, midx, fx, f1x)
-        new_cy = fit(py, y1y, midy, fy, f1y)
+            new_cx = fit(px, y1x, midx, fx, f1x)
+            new_cy = fit(py, y1y, midy, fy, f1y)
 
-        # --- masked state update: inactive lanes pass through; active
-        # lanes take the accept/reject branch ---
-        take = active & accept            # (1, C)
-        step_taken = active
+            # --- masked state update: inactive lanes pass through; active
+            # lanes take the accept/reject branch ---
+            take = active & accept            # (1, C)
+            step_taken = active
 
-        def sel(new, acc_old):
-            return jnp.where(take, new, acc_old)
+            def sel(new, acc_old):
+                return jnp.where(take, new, acc_old)
 
-        opx[:] = sel(y1x, px)
-        opy[:] = sel(y1y, py)
-        ofx[:] = sel(f1x, fx)
-        ofy[:] = sel(f1y, fy)
-        ot0[:] = jnp.where(take, t1, t0_ref[:])
-        ot1[:] = sel(t1 + dt, t1)
-        odt[:] = jnp.where(step_taken, dt_next, dt)
-        ocx[:] = sel(new_cx, cx_ref[:])
-        ocy[:] = sel(new_cy, cy_ref[:])
-        fstep = step_taken.astype(jnp.float32)
-        facc = take.astype(jnp.float32)
-        onfe[:] = nfe_ref[:] + 6.0 * fstep
-        onacc[:] = nacc_ref[:] + facc
-        onrej[:] = nrej_ref[:] + fstep - facc
+            fstep = step_taken.astype(jnp.float32)
+            facc = take.astype(jnp.float32)
+            return (
+                sel(y1x, px), sel(y1y, py), sel(f1x, fx), sel(f1y, fy),
+                jnp.where(take, t1, t0c), sel(t1 + dt, t1),
+                jnp.where(step_taken, dt_next, dt),
+                sel(new_cx, cxc), sel(new_cy, cyc),
+                nfe + 6.0 * fstep, nacc + facc, nrej + fstep - facc,
+            )
+
+        carry = (px_ref[:], py_ref[:], fx_ref[:], fy_ref[:], t0_ref[:],
+                 t1_ref[:], dt_ref[:], cx_ref[:], cy_ref[:], nfe_ref[:],
+                 nacc_ref[:], nrej_ref[:])
+        if steps_per_call == 1:
+            carry = one_step(carry)
+        else:
+            carry = jax.lax.fori_loop(
+                0, steps_per_call, lambda _, c: one_step(c), carry
+            )
+        (opx[:], opy[:], ofx[:], ofy[:], ot0[:], ot1[:], odt[:], ocx[:],
+         ocy[:], onfe[:], onacc[:], onrej[:]) = carry
 
     return kernel
 
 
 def _pallas_step(state: GPDopri5State, next_t, consts, cfg, N, RP,
-                 interpret=False):
+                 steps_per_call=1, interpret=False, tile=2048):
     ax, ay, zx, zy = consts
-    kernel = _make_kernel(*cfg, N, RP)
-    shapes = [
-        jax.ShapeDtypeStruct(s.shape, s.dtype)
-        for s in [state.px, state.py, state.fx, state.fy, state.t0,
-                  state.t1, state.dt, state.cx, state.cy, state.nfe,
-                  state.nacc, state.nrej]
-    ]
-    vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    C = state.px.shape[1]
+    tile = min(tile, C)
+    kernel = _make_kernel(*cfg, N, RP, steps_per_call)
+    state_arrays = [state.px, state.py, state.fx, state.fy, state.t0,
+                    state.t1, state.dt, state.cx, state.cy, state.nfe,
+                    state.nacc, state.nrej]
+    shapes = [jax.ShapeDtypeStruct(s.shape, s.dtype) for s in state_arrays]
+
+    def vtile(rows):
+        return pl.BlockSpec((rows, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    state_specs = [vtile(a.shape[0]) for a in state_arrays]
     outs = pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vm()] * 16,
-        out_specs=[vm()] * 12,
+        grid=(C // tile,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + state_specs
+        + [vtile(ax.shape[0]), vtile(ay.shape[0]),
+           pl.BlockSpec((zx.shape[0], 1), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec((zy.shape[0], 1), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=state_specs,
         out_shape=shapes,
         input_output_aliases={i + 1: i for i in range(12)},
         interpret=interpret,
     )(
-        next_t.reshape(1), state.px, state.py, state.fx, state.fy, state.t0,
-        state.t1, state.dt, state.cx, state.cy, state.nfe, state.nacc,
-        state.nrej, ax, ay, zx, zy,
+        next_t.reshape(1), *state_arrays, ax, ay, zx, zy,
     )
     return GPDopri5State(*outs)
 
@@ -217,7 +231,7 @@ def _interp_eval(state: GPDopri5State, t, RP):
 
 def gp_dopri5_solve(A, x0, ts, static, rtol=1e-7, atol=1e-9, safety=0.9,
                     ifactor=10.0, dfactor=0.2, max_steps=100_000,
-                    interpret=False):
+                    steps_per_call=1, interpret=False):
     """Solve the GP-field ODE for C chains with the fused stepper.
 
     A:  (C, M, D=2) per-chain precomputed weights (Kzz^{-1} L U).
@@ -301,7 +315,8 @@ def gp_dopri5_solve(A, x0, ts, static, rtol=1e-7, atol=1e-9, safety=0.9,
             return jnp.any(s.t1 < next_t) & budget
 
         def body(s):
-            return _pallas_step(s, next_t, consts, cfg, N, RP, interpret)
+            return _pallas_step(s, next_t, consts, cfg, N, RP,
+                                steps_per_call, interpret)
 
         state = jax.lax.while_loop(cond, body, state)
         ex, ey = _interp_eval(state, next_t, RP)
