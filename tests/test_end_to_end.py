@@ -90,3 +90,27 @@ def test_mala_gp_vdp_acceptance():
     )
     acc = float(jnp.mean(infos["accepted"].astype(jnp.float32)))
     assert acc > 0.2, acc
+
+
+def test_svgd_gp_vdp_posterior():
+    # BASELINE.json config #5: SVGD particle ensemble (64-1024) on the GP
+    # mean-function nonparametric ODE posterior.
+    data, static, params0, potential = _setup()
+    from bayesian_ode_tpu.utils.pytree import ravel_pytree
+
+    vec0, unravel = ravel_pytree(params0)
+    pot_flat = lambda v: potential(unravel(v))
+
+    kernel = samplers.svgd(pot_flat, step_size=2e-5, use_pallas="never")
+    n_particles = 64
+    particles = vec0[None] + 0.01 * jax.random.normal(
+        jax.random.PRNGKey(0), (n_particles, vec0.shape[0]), vec0.dtype
+    )
+    state = kernel.init(particles)
+    pots0 = jax.vmap(pot_flat)(state.particles)
+    state, _, _ = samplers.sample_chain(kernel, state, jax.random.PRNGKey(1),
+                                        num_samples=1, burn_in=60)
+    pots1 = jax.vmap(pot_flat)(state.particles)
+    # the particle ensemble flows toward the posterior bulk
+    assert float(jnp.median(pots1)) < float(jnp.median(pots0))
+    assert np.isfinite(np.asarray(state.particles)).all()
