@@ -218,12 +218,6 @@ def sgld_batched(potential_batch: Callable, step_size) -> TransitionKernel:
     """
     sched = schedules.resolve(step_size)
 
-    def value_and_grads(position):
-        pots, grads = jax.value_and_grad(
-            lambda p: jnp.sum(potential_batch(p))
-        )(position)
-        return potential_batch(position), grads
-
     def init(position):
         return BatchLangevinState(
             position, potential_batch(position), jnp.asarray(0, jnp.int32)

@@ -194,6 +194,21 @@ def sgld_effective_samples(data, static, params0, kr, n_chains, num_samples,
     return (ess0 + ess1) / 2.0 / dt, steps / dt, dt
 
 
+def _retry(fn, *args, attempts=3, wait=120, **kw):
+    """The TPU tunnel in this environment occasionally reports transient
+    'TPU worker process crashed' / device errors under load; wait and
+    retry before giving up."""
+    for i in range(attempts):
+        try:
+            return fn(*args, **kw)
+        except Exception as e:
+            if i == attempts - 1:
+                raise
+            print(f"# transient failure ({type(e).__name__}); retrying in "
+                  f"{wait}s", file=sys.stderr)
+            time.sleep(wait)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chains", type=int, default=10000)
@@ -224,25 +239,27 @@ def main():
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
 
-    evals_per_sec, fwd_dt, mean_nfe, all_ok = dopri5_forward_throughput(
-        data, static, params0, kr, args.chains, args.rtol, args.atol
+    evals_per_sec, fwd_dt, mean_nfe, all_ok = _retry(
+        dopri5_forward_throughput, data, static, params0, kr, args.chains,
+        args.rtol, args.atol,
     )
     print(
         f"# dopri5 fwd (generic): {args.chains} chains, {fwd_dt:.3f}s, mean "
         f"NFE {mean_nfe:.0f}, reached={all_ok}", file=sys.stderr,
     )
 
-    f_evals_per_sec, f_dt, f_nfe, f_ok, f_chains = fused_dopri5_throughput(
-        data, static, params0, kr, args.chains, args.rtol, args.atol
+    f_evals_per_sec, f_dt, f_nfe, f_ok, f_chains = _retry(
+        fused_dopri5_throughput, data, static, params0, kr, args.chains,
+        args.rtol, args.atol,
     )
     print(
         f"# dopri5 fwd (fused pallas): {f_chains} chains, {f_dt:.3f}s, mean "
         f"NFE {f_nfe:.0f}, reached={f_ok}", file=sys.stderr,
     )
 
-    eff_sps, sgld_sps, sgld_dt = sgld_effective_samples(
-        data, static, params0, kr, args.chains, args.samples, args.burn_in,
-        grad_engine=args.sgld_grad,
+    eff_sps, sgld_sps, sgld_dt = _retry(
+        sgld_effective_samples, data, static, params0, kr, args.chains,
+        args.samples, args.burn_in, grad_engine=args.sgld_grad,
     )
     print(f"# sgld: {sgld_sps:.0f} steps/s, {sgld_dt:.2f}s", file=sys.stderr)
 
