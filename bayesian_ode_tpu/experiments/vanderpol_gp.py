@@ -283,7 +283,8 @@ def _plots_sampler(out_dir, config, data, static, positions, pots):
     plt.close(fig)
 
 
-def run_optim(config: Dict, data: Dict, output: str) -> Dict[str, Any]:
+def run_optim(config: Dict, data: Dict, output: str,
+              make_plots: bool = True) -> Dict[str, Any]:
     """MAP optimization (gp.py:74-287): optimizer zoo via optax + our
     L-BFGS, lr/momentum schedules lr/(1+decay*itr) (gp.py:170-178)."""
     import optax
@@ -344,7 +345,60 @@ def run_optim(config: Dict, data: Dict, output: str) -> Dict[str, Any]:
                     "best_loss": float(np.min(losses))})
     save_pytree(os.path.join(out_dir, "map_params.npz"),
                 jax.tree.map(np.asarray, x))
+    if make_plots:
+        _plots_optim(out_dir, config, data, static, x, losses)
     return {"final_loss": float(value), "best_loss": float(np.min(losses))}
+
+
+def _plots_optim(out_dir, config, data, static, params, losses):
+    """MAP-run artifacts (gp.py:200-287): loss curves (linear + log),
+    phase plot with the learned-field quiver, and fitted-vs-observed
+    trajectories."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    for name, yscale in [("post", "linear"), ("post_log", "log")]:
+        fig, ax = plt.subplots()
+        ax.plot(np.asarray(losses))
+        ax.set_xlabel("Iteration")
+        ax.set_ylabel("Negative log posterior")
+        ax.set_yscale(yscale)
+        fig.savefig(os.path.join(out_dir, f"{name}.pdf"))
+        plt.close(fig)
+
+    lo = np.asarray(data["Y"]).reshape(-1, 2).min(0) - 0.5
+    hi = np.asarray(data["Y"]).reshape(-1, 2).max(0) + 0.5
+    gx, gy = np.meshgrid(np.linspace(lo[0], hi[0], 15),
+                         np.linspace(lo[1], hi[1], 15))
+    grid_pts = jnp.asarray(np.stack([gx.ravel(), gy.ravel()], 1))
+    field = np.asarray(kr.vector_field(params, static, 0.0, grid_pts))
+    fig, ax = plt.subplots(figsize=(6, 5))
+    ax.quiver(gx, gy, field[:, 0].reshape(gx.shape),
+              field[:, 1].reshape(gx.shape), alpha=0.6)
+    for traj in np.asarray(data["Y"]):
+        ax.plot(traj[:, 0], traj[:, 1], ".", ms=2)
+    ax.set_title(f"MAP field ({config['method']})")
+    fig.savefig(os.path.join(out_dir, "phase_map.pdf"))
+    plt.close(fig)
+
+    # fitted trajectories vs observations
+    A = kr.precompute_weights(params, static)
+    xode = np.asarray(
+        odeint(lambda tt, X: kr.vector_field_fast(A, static, tt, X),
+               data["x0"], data["t"], method="rk4")
+    )
+    tn = np.asarray(data["t"])
+    fig, axes = plt.subplots(ncols=min(3, xode.shape[1]), figsize=(12, 3))
+    axes = np.atleast_1d(axes)
+    for i, ax in enumerate(axes):
+        ax.plot(tn, np.asarray(data["Y"])[i, :, 0], ".", ms=3,
+                label="obs x")
+        ax.plot(tn, xode[:, i, 0], "-", label="fit x")
+        ax.legend(fontsize=6)
+    fig.savefig(os.path.join(out_dir, "trajectories.pdf"))
+    plt.close(fig)
 
 
 def worker(config: Dict, data: Dict, output: str) -> Dict[str, Any]:

@@ -121,3 +121,12 @@ def test_run_sampler_fused_engine(tmp_path, tiny_data):
     assert summary["num_chains"] == 128
     out_dir = tmp_path / "SGLD" / "1"
     assert (out_dir / "chain.npz").exists()
+
+
+def test_run_optim_plots(tmp_path, tiny_data):
+    cfg = tiny_config("Adam", inf_type="optim", lr=1e-3)
+    run_optim(cfg, tiny_data, str(tmp_path), make_plots=True)
+    out_dir = tmp_path / "Adam" / "1"
+    for name in ["post.pdf", "post_log.pdf", "phase_map.pdf",
+                 "trajectories.pdf"]:
+        assert (out_dir / name).exists(), name
