@@ -130,3 +130,35 @@ def test_bounded_mode_matches_while_mode():
         options={"mode": "bounded", "max_steps_per_interval": 64},
     )
     assert jnp.max(jnp.abs(y_while - y_bounded)) < 1e-12
+
+
+def test_max_num_steps_budget_terminates():
+    # blow-up ODE past its singularity: the step budget terminates the
+    # solve and flags it (replaces the reference's max_num_steps assert,
+    # dopri5.py:89-91)
+    ys, stats = odeint_with_stats(
+        lambda t, y: y**2, jnp.asarray(1.0), jnp.asarray([0.0, 2.0]),
+        method="dopri5", options={"max_num_steps": 500},
+    )
+    assert not bool(stats["reached_final_time"])
+    assert int(stats["n_accepted"]) + int(stats["n_rejected"]) == 500
+
+
+def test_step_size_option_fixed_grid():
+    # custom step_size grid with linear interpolation onto output times
+    # (reference solvers.py:60-71, 100-105)
+    f = lambda t, y: -y
+    t = jnp.asarray([0.0, 0.35, 1.0])
+    y = odeint(f, jnp.asarray(1.0), t, method="rk4",
+               options={"step_size": 0.05})
+    assert jnp.max(jnp.abs(y - jnp.exp(-t))) < 1e-5
+
+
+def test_adams_options_forwarded():
+    p = problems.construct_problem(ode="constant")
+    y = odeint(p.func, p.y0, p.t, method="adams",
+               options={"max_order": 4})
+    assert rel_error(p.sol, y) < ERROR_TOL
+    y2 = odeint(p.func, p.y0, p.t, method="fixed_adams",
+                options={"max_iters": 2, "max_order": 6})
+    assert rel_error(p.sol, y2) < ERROR_TOL

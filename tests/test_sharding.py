@@ -114,3 +114,17 @@ def test_fused_rk4_kernel_under_shard_map():
     out = sharded(A)
     ref = gp_rk4_trajectory(A, x0, ts, static32, tile=128, interpret=True)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+@needs_devices
+def test_mesh_helpers():
+    from bayesian_ode_tpu.parallel import replicated, shard_leading_axis
+
+    mesh = make_mesh(8, axis="chain")
+    tree = {"a": jnp.arange(16.0).reshape(16, 1), "b": jnp.ones((8, 3))}
+    sharded = shard_leading_axis(tree, mesh)
+    assert sharded["a"].sharding.spec[0] == "chain"
+    rep = replicated({"c": jnp.ones(4)}, mesh)
+    assert rep["c"].sharding.spec == ()
+    np.testing.assert_array_equal(np.asarray(sharded["a"]),
+                                  np.asarray(tree["a"]))
