@@ -18,8 +18,31 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# --- supervision happens BEFORE importing jax: this environment's TPU
+# plugin claims the chip at jax import, so the supervisor process must not
+# touch it, and a poisoned client cannot recover in-process after a tunnel
+# fault.  The child (BENCH_INNER=1) does the measuring; failures retry with
+# a fresh process.
+if __name__ == "__main__" and os.environ.get("BENCH_INNER") != "1" \
+        and "--_baseline-worker" not in sys.argv:
+    import subprocess
+
+    rc = 1
+    for _attempt in range(3):
+        child = subprocess.run(
+            [sys.executable] + sys.argv, env=dict(os.environ, BENCH_INNER="1")
+        )
+        rc = child.returncode
+        if rc == 0:
+            break
+        print(f"# bench attempt {_attempt + 1} failed (rc={rc}); "
+              "retrying in 120s", file=sys.stderr)
+        time.sleep(120)
+    sys.exit(rc)
 
 import jax
 import jax.numpy as jnp
@@ -209,30 +232,7 @@ def _retry(fn, *args, attempts=3, wait=120, **kw):
             time.sleep(wait)
 
 
-def _supervise():
-    """Run the measurement in a child process and retry on transient TPU
-    tunnel failures (a poisoned device client cannot recover in-process)."""
-    import os
-    import subprocess
-
-    for attempt in range(3):
-        env = dict(os.environ, BENCH_INNER="1")
-        proc = subprocess.run([sys.executable] + sys.argv, env=env)
-        if proc.returncode == 0:
-            return 0
-        print(f"# bench attempt {attempt + 1} failed "
-              f"(rc={proc.returncode}); retrying in 120s", file=sys.stderr)
-        time.sleep(120)
-    return 1
-
-
 def main():
-    import os
-
-    if os.environ.get("BENCH_INNER") != "1" and \
-            "--_baseline-worker" not in sys.argv:
-        sys.exit(_supervise())
-
     ap = argparse.ArgumentParser()
     ap.add_argument("--chains", type=int, default=10000)
     ap.add_argument("--samples", type=int, default=60)
