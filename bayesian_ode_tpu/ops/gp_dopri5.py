@@ -186,7 +186,10 @@ def _pallas_step(state: GPDopri5State, next_t, consts, cfg, N, RP,
                  steps_per_call=1, interpret=False, tile=2048):
     ax, ay, zx, zy = consts
     C = state.px.shape[1]
+    # the grid must tile C exactly (C is a multiple of 128 by contract)
     tile = min(tile, C)
+    while C % tile:
+        tile -= 128
     kernel = _make_kernel(*cfg, N, RP, steps_per_call)
     state_arrays = [state.px, state.py, state.fx, state.fy, state.t0,
                     state.t1, state.dt, state.cx, state.cy, state.nfe,

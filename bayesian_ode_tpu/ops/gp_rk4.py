@@ -239,9 +239,11 @@ def gp_rk4_trajectory(A, x0, ts, static, tile=512, interpret=False):
 
 def _fwd_impl(A, x0, ts, Z, sf, ell, tile, interpret):
     C = A.shape[0]
+    if C % 128:
+        raise ValueError(f"chain count must be a multiple of 128, got {C}")
     tile = min(tile, C)
-    if C % tile or tile % 128:
-        raise ValueError(f"chains {C} must tile by {tile} (multiple of 128)")
+    while C % tile:          # grid must tile C exactly
+        tile -= 128
     f32 = jnp.float32
     T = ts.shape[0]
     N = x0.shape[-2]
@@ -292,6 +294,8 @@ def _bwd_rule(sf, ell, tile, interpret, res, g):
     A, x0, ts, Z, xs, ys = res
     C = A.shape[0]
     tile_ = min(tile, C)
+    while C % tile_:
+        tile_ -= 128
     f32 = jnp.float32
     T = ts.shape[0]
     N = x0.shape[-2]

@@ -154,3 +154,31 @@ def test_gp_rk4_fused_forward_and_gradients():
     )(U)
     assert float(jnp.max(jnp.abs(g_f - g_g))) / float(
         jnp.max(jnp.abs(g_g))) < 1e-4
+
+
+def test_fused_kernels_nondivisible_tile_counts():
+    # chain counts that don't divide the default tiles must still tile the
+    # grid exactly (a floor-divided grid silently drops chains / faults)
+    from bayesian_ode_tpu.models import kernel_regression as kr
+    from bayesian_ode_tpu.models import make_dataset
+    from bayesian_ode_tpu.ops.gp_dopri5 import gp_dopri5_solve
+    from bayesian_ode_tpu.ops.gp_rk4 import gp_rk4_trajectory
+
+    data = make_dataset(jax.random.PRNGKey(4), "vdp", N=3, T=6, t_max=1.5,
+                        noise=0.05, x0_scale=1.0)
+    Z = kr.make_inducing_grid(data["Y"], M=4)
+    static = kr.make_static(Z, sf=1.0, ell=0.75)
+    f32 = jnp.float32
+    static32 = static._replace(Z=static.Z.astype(f32),
+                               KzzinvL=static.KzzinvL.astype(f32),
+                               Kzzinv=static.Kzzinv.astype(f32))
+    p0 = kr.init_params(data["Y"], data["t"], static, noise=0.05)
+    C = 128 * 3
+    A = jnp.broadcast_to((static32.KzzinvL @ p0["U"].astype(f32)),
+                         (C, 16, 2))
+    x0 = data["x0"].astype(f32)
+    ts = data["t"].astype(f32)
+    ys, st = gp_dopri5_solve(A, x0, ts, static32, interpret=True)
+    assert ys.shape == (6, C, 3, 2) and bool(st["reached_final_time"])
+    tr = gp_rk4_trajectory(A, x0, ts, static32, interpret=True)
+    assert tr.shape == (6, C, 3, 2)
