@@ -114,3 +114,29 @@ def test_svgd_gp_vdp_posterior():
     # the particle ensemble flows toward the posterior bulk
     assert float(jnp.median(pots1)) < float(jnp.median(pots0))
     assert np.isfinite(np.asarray(state.particles)).all()
+
+
+def test_psgld_mlp_vdp_posterior():
+    # BASELINE.json config #3: Van der Pol with the NN (MLP) mean-function
+    # baseline under P-SGLD (RMSprop-style preconditioner).
+    from bayesian_ode_tpu import odeint
+    from bayesian_ode_tpu.models import mlp
+
+    data = make_dataset(jax.random.PRNGKey(5), "vdp", N=3, T=30, t_max=4.0,
+                        noise=0.05, x0_scale=1.2)
+    solve = lambda f, x0, t: odeint(jax.checkpoint(f), x0, t, method="rk4")
+    potential = mlp.make_potential(data["x0"], data["t"], data["X"], solve,
+                                   reg=0.5)
+    params0 = mlp.init_mlp(jax.random.PRNGKey(0), [2, 20, 20, 2])
+
+    kernel = samplers.psgld(potential, step_size=1e-4, alpha=0.99)
+    states = samplers.init_chains(kernel, jax.random.PRNGKey(1), params0, 8,
+                                  jitter=0.01)
+    _, positions, infos = jax.jit(
+        lambda s, k: samplers.sample_chains(kernel, s, k, num_samples=80,
+                                            burn_in=120)
+    )(states, jax.random.split(jax.random.PRNGKey(2), 8))
+    pots = infos["potential"]
+    assert np.isfinite(np.asarray(pots)).all()
+    # P-SGLD descends into the posterior bulk from the random init
+    assert float(jnp.median(pots[:, -1])) < float(jnp.median(pots[:, 0]))
