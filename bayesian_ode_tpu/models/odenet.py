@@ -52,9 +52,36 @@ def _gn_init(c):
     return {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,))}
 
 
-def init_params(key, dim: int = 64, n_classes: int = 10) -> Dict:
-    keys = jax.random.split(key, 8)
+def init_resblock(key, dim: int):
+    """Pre-activation residual block params (odenet_mnist.py:48-74)."""
+    k1, k2 = jax.random.split(key)
     return {
+        "gn1": _gn_init(dim),
+        "conv1": _conv_init(k1, 3, dim, dim),
+        "gn2": _gn_init(dim),
+        "conv2": _conv_init(k2, 3, dim, dim),
+    }
+
+
+def resblock(params, x):
+    out = jax.nn.relu(_group_norm(params["gn1"], x))
+    out = _conv(params["conv1"], out)
+    out = jax.nn.relu(_group_norm(params["gn2"], out))
+    out = _conv(params["conv2"], out)
+    return out + x
+
+
+def init_params(key, dim: int = 64, n_classes: int = 10,
+                network: str = "odenet", n_resblocks: int = 6) -> Dict:
+    keys = jax.random.split(key, 8)
+    if network == "resnet":
+        # the reference's ResNet baseline replaces the ODE block with 6
+        # residual blocks (odenet_mnist.py:304)
+        rkeys = jax.random.split(keys[3], n_resblocks)
+        feature = {"resblocks": [init_resblock(k, dim) for k in rkeys]}
+    else:
+        feature = {}
+    base = {
         "down": {
             "conv1": _conv_init(keys[0], 3, 1, dim),
             "gn1": _gn_init(dim),
@@ -82,6 +109,8 @@ def init_params(key, dim: int = 64, n_classes: int = 10) -> Dict:
             },
         },
     }
+    base.update(feature)
+    return base
 
 
 def downsample(params, x):
@@ -114,13 +143,22 @@ def classify(params, h):
     return h @ params["head"]["fc"]["w"] + params["head"]["fc"]["b"]
 
 
-def forward(params, x, odeint_fn: Callable):
-    """Full network: downsample -> ODE block over [0, 1] -> classifier.
-    `odeint_fn(field, h0, ts)` supplies the solver (tol/adjoint choice)."""
+def forward(params, x, odeint_fn: Callable = None):
+    """Full network: downsample -> feature stack -> classifier.
+
+    With `odeint_fn(field, h0, ts)` the feature stack is one ODE block over
+    [0, 1]; params built with network="resnet" use 6 residual blocks
+    instead (the reference's baseline switch, odenet_mnist.py:304)."""
     h = downsample(params["down"], x)
-    ts = jnp.asarray([0.0, 1.0])
-    hs = odeint_fn(lambda t, hh: ode_field(params["odefunc"], t, hh), h, ts)
-    h1 = jax.tree.map(lambda a: a[-1], hs)
+    if "resblocks" in params:
+        for blk in params["resblocks"]:
+            h = resblock(blk, h)
+        h1 = h
+    else:
+        ts = jnp.asarray([0.0, 1.0])
+        hs = odeint_fn(lambda t, hh: ode_field(params["odefunc"], t, hh),
+                       h, ts)
+        h1 = jax.tree.map(lambda a: a[-1], hs)
     return classify(params, h1)
 
 

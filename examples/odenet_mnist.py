@@ -53,6 +53,8 @@ def main():
     ap.add_argument("--tol", type=float, default=1e-3)
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--solver", default="dopri5", choices=["dopri5", "rk4"])
+    ap.add_argument("--network", default="odenet",
+                    choices=["odenet", "resnet"])
     ap.add_argument("--mnist-npz", default=None)
     ap.add_argument("--log", default=None)
     args = ap.parse_args()
@@ -67,7 +69,8 @@ def main():
     x_train, y_train = x[:n_train], y[:n_train]
     x_test, y_test = x[n_train:], y[n_train:]
 
-    params = odenet.init_params(jax.random.PRNGKey(1), dim=args.dim)
+    params = odenet.init_params(jax.random.PRNGKey(1), dim=args.dim,
+                                network=args.network)
     tx = optax.sgd(args.lr, momentum=0.9)
     opt_state = tx.init(params)
 

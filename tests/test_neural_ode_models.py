@@ -104,3 +104,16 @@ def test_spiral_training_converges():
         if first is None:
             first = float(val)
     assert float(val) < 0.5 * first, (first, float(val))
+
+
+def test_odenet_resnet_baseline():
+    # the reference's --network resnet switch (odenet_mnist.py:300-304)
+    params = odenet.init_params(jax.random.PRNGKey(0), dim=8,
+                                network="resnet", n_resblocks=2)
+    images = jax.random.normal(jax.random.PRNGKey(1), (4, 28, 28, 1))
+    logits = odenet.forward(params, images)
+    assert logits.shape == (4, 10)
+    labels = jnp.asarray([0, 1, 2, 3])
+    loss_fn = odenet.make_loss(None, images, labels)
+    val, g = jax.value_and_grad(loss_fn)(params)
+    assert jnp.isfinite(val)
