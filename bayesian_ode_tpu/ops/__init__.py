@@ -3,15 +3,19 @@
 - pallas_rbf: tiled SVGD phi (streamed n x n RBF kernel matrix)
 - gp_dopri5: fused whole-step adaptive dopri5 for the GP vector field
 - gp_rk4: fused rk4 trajectory + hand-written backward (custom VJP)
+- mlp_rk4: the same for the MLP (neural-network) vector field
 """
 from .gp_dopri5 import gp_dopri5_solve  # noqa: F401
 from .gp_rk4 import gp_rk4_trajectory, make_fused_gp_potential  # noqa: F401
+from .mlp_rk4 import make_fused_mlp_potential, mlp_rk4_trajectory  # noqa: F401
 from .pallas_rbf import svgd_phi_pallas, svgd_phi_reference  # noqa: F401
 
 __all__ = [
     "gp_dopri5_solve",
     "gp_rk4_trajectory",
     "make_fused_gp_potential",
+    "make_fused_mlp_potential",
+    "mlp_rk4_trajectory",
     "svgd_phi_pallas",
     "svgd_phi_reference",
 ]

@@ -182,3 +182,54 @@ def test_fused_kernels_nondivisible_tile_counts():
     assert ys.shape == (6, C, 3, 2) and bool(st["reached_final_time"])
     tr = gp_rk4_trajectory(A, x0, ts, static32, interpret=True)
     assert tr.shape == (6, C, 3, 2)
+
+
+def test_mlp_rk4_fused_matches_generic():
+    # fused MLP trajectory + hand-written backward vs generic solver and
+    # jax autodiff (BASELINE config #3's field), interpret mode
+    from bayesian_ode_tpu import odeint
+    from bayesian_ode_tpu.models import make_dataset, mlp
+    from bayesian_ode_tpu.ops.mlp_rk4 import (
+        make_fused_mlp_potential,
+        mlp_rk4_trajectory,
+    )
+
+    f32 = jnp.float32
+    data = make_dataset(jax.random.PRNGKey(5), "vdp", N=4, T=10, t_max=2.0,
+                        noise=0.05, x0_scale=1.2)
+    C, H = 128, 20
+    keys = jax.random.split(jax.random.PRNGKey(0), C)
+    params = jax.tree.map(
+        lambda x: x.astype(f32),
+        jax.vmap(lambda k: mlp.init_mlp(k, [2, H, H, 2]))(keys),
+    )
+    x0 = data["x0"].astype(f32)
+    ts = data["t"].astype(f32)
+
+    traj = mlp_rk4_trajectory(params, x0, ts, tile=128, interpret=True)
+
+    def gen_one(p):
+        return odeint(lambda tt, X: mlp.mlp_vector_field(p, tt, X), x0, ts,
+                      method="rk4")
+
+    traj_ref = jnp.moveaxis(jax.vmap(gen_one)(params), 0, 1)
+    assert float(jnp.max(jnp.abs(traj - traj_ref))) < 1e-4
+
+    W = jax.random.normal(jax.random.PRNGKey(7), traj.shape, f32)
+    g_f = jax.grad(lambda p: jnp.sum(
+        mlp_rk4_trajectory(p, x0, ts, tile=128, interpret=True) * W))(params)
+    g_r = jax.grad(lambda p: jnp.sum(
+        jnp.moveaxis(jax.vmap(gen_one)(p), 0, 1) * W))(params)
+    dmax = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), g_f, g_r)))
+    smax = max(float(jnp.max(jnp.abs(x))) for x in jax.tree.leaves(g_r))
+    assert dmax / smax < 1e-4
+
+    # potential value + grad parity vs models.mlp.make_potential
+    pot_f = make_fused_mlp_potential(x0, ts, data["X"].astype(f32), reg=0.5,
+                                     tile=128, interpret=True)
+    solve = lambda f, x0_, t_: odeint(f, x0_, t_, method="rk4")
+    pot_g = mlp.make_potential(x0, ts, data["X"].astype(f32), solve, reg=0.5)
+    vf = pot_f(params)
+    vg = jax.vmap(pot_g)(params)
+    assert float(jnp.max(jnp.abs(vf - vg) / jnp.abs(vg))) < 1e-4
