@@ -36,7 +36,28 @@ def _out_dir(output: str, config: Dict) -> str:
 
 def build_model(config: Dict, data: Dict):
     """Grid + static kernel quantities + gradient-matched init + potential
-    (gp.py:305-353)."""
+    (gp.py:305-353).
+
+    config["model"] == "nn" swaps the GP vector field for the MLP
+    mean-function baseline (nn.ipynb cell 4; BASELINE config #3): uniform
+    (-0.5, 0.5) init, SSE + L2 potential, no static kernel quantities.
+    """
+    model = config.get("model", "gp")
+    if model not in ("gp", "nn"):
+        raise ValueError(f"unknown model {model!r}; expected 'gp' or 'nn'")
+    if model == "nn":
+        from ..models import mlp
+
+        H = config.get("hidden", 32)
+        params0 = mlp.init_mlp(jax.random.PRNGKey(config.get("seed", 0)),
+                               [2, H, H, 2])
+        solve = lambda f, x0, t: odeint_adjoint(f, x0, t, method="rk4")
+        reg = config.get("reg", 0.5)
+        potential = mlp.make_potential(data["x0"], data["t"], data["Y"],
+                                       solve, reg=reg)
+        sq_err = mlp.make_potential(data["x0"], data["t"], data["Y"],
+                                    solve, reg=reg, add_prior=False)
+        return None, params0, potential, sq_err
     Z = kr.make_inducing_grid(data["Y"], M=config["M"])
     static = kr.make_static(Z, sf=config["sf"], ell=config["ell"])
     params0 = kr.init_params(data["Y"], data["t"], static,
@@ -116,9 +137,10 @@ def run_sampler(config: Dict, data: Dict, output: str,
                 make_plots: bool = True) -> Dict[str, Any]:
     """Posterior sampling (gp.py:290-507) over vmapped chains.
 
-    config["engine"] == "fused" runs SGLD on the GP posterior through the
-    fused Pallas trajectory kernels (ops/gp_rk4.py, ~12x faster on TPU);
-    chain counts are rounded up to a multiple of 128 there.
+    config["engine"] == "fused" runs SGLD/pSGLD through the fused Pallas
+    trajectory kernels (ops/gp_rk4.py for the GP field, ops/mlp_rk4.py for
+    model="nn"; ~12x faster on TPU); chain counts are rounded up to a
+    multiple of 128 there.
     """
     out_dir = _out_dir(output, config)
     with open(os.path.join(out_dir, "config.json"), "w") as f:
@@ -127,20 +149,34 @@ def run_sampler(config: Dict, data: Dict, output: str,
     static, params0, potential, sq_err = build_model(config, data)
     n_chains = config.get("num_chains", 64)
 
-    if config.get("engine") == "fused" and config["method"] == "SGLD":
-        from ..ops.gp_rk4 import make_fused_gp_potential
-
+    if config.get("engine") == "fused" and config["method"] in ("SGLD",
+                                                                 "pSGLD"):
         f32 = jnp.float32
         n_chains = ((n_chains + 127) // 128) * 128
-        static32 = static._replace(
-            Z=static.Z.astype(f32), KzzinvL=static.KzzinvL.astype(f32),
-            Kzzinv=static.Kzzinv.astype(f32),
-        )
-        pot_batch = make_fused_gp_potential(
-            static32, data["x0"].astype(f32), data["t"].astype(f32),
-            data["Y"].astype(f32),
-        )
-        kernel = samplers.sgld_batched(pot_batch, _poly_sched(config))
+        if config.get("model", "gp") == "nn":
+            from ..ops.mlp_rk4 import make_fused_mlp_potential
+
+            pot_batch = make_fused_mlp_potential(
+                data["x0"].astype(f32), data["t"].astype(f32),
+                data["Y"].astype(f32), reg=config.get("reg", 0.5),
+            )
+        else:
+            from ..ops.gp_rk4 import make_fused_gp_potential
+
+            static32 = static._replace(
+                Z=static.Z.astype(f32), KzzinvL=static.KzzinvL.astype(f32),
+                Kzzinv=static.Kzzinv.astype(f32),
+            )
+            pot_batch = make_fused_gp_potential(
+                static32, data["x0"].astype(f32), data["t"].astype(f32),
+                data["Y"].astype(f32),
+            )
+        if config["method"] == "pSGLD":
+            kernel = samplers.psgld_batched(pot_batch, _poly_sched(config),
+                                            alpha=config["psgld_alpha"],
+                                            lambda_=config["lambda_"])
+        else:
+            kernel = samplers.sgld_batched(pot_batch, _poly_sched(config))
         jitter = config.get("jitter", 0.005)
         pos0 = jax.tree.map(
             lambda x: jnp.asarray(x, f32)[None]
@@ -183,10 +219,16 @@ def run_sampler(config: Dict, data: Dict, output: str,
     # losses + diagnostics
     pots = np.asarray(infos["potential"])             # (chains, samples)
     logger = RunLogger(os.path.join(out_dir, "run.jsonl"))
-    ess_logsn = [float(samplers.ess(positions["logsn"][:, :, d]))
-                 for d in range(positions["logsn"].shape[-1])]
-    rhat_logsn = [float(samplers.split_rhat(positions["logsn"][:, :, d]))
-                  for d in range(positions["logsn"].shape[-1])]
+    if isinstance(positions, dict) and "logsn" in positions:
+        diag = positions["logsn"]                     # (chains, samples, 2)
+    else:
+        # nn model: diagnose the first two final-layer bias coordinates
+        lead = jax.tree.leaves(positions)[-1]
+        diag = lead.reshape(lead.shape[0], lead.shape[1], -1)[:, :, :2]
+    ess_logsn = [float(samplers.ess(diag[:, :, d]))
+                 for d in range(diag.shape[-1])]
+    rhat_logsn = [float(samplers.split_rhat(diag[:, :, d]))
+                  for d in range(diag.shape[-1])]
     acc = float(jnp.mean(infos["accepted"].astype(jnp.float32))) \
         if "accepted" in infos else 1.0
     summary = {
@@ -204,8 +246,46 @@ def run_sampler(config: Dict, data: Dict, output: str,
     np.save(os.path.join(out_dir, "total_loss_arr.npy"), pots)
 
     if make_plots:
-        _plots_sampler(out_dir, config, data, static, positions, pots)
+        if static is None:
+            _plots_sampler_nn(out_dir, config, data, positions, pots)
+        else:
+            _plots_sampler(out_dir, config, data, static, positions, pots)
     return summary
+
+
+def _plots_sampler_nn(out_dir, config, data, positions, pots):
+    """nn-model plots: loss curve + posterior-mode phase quiver of the MLP
+    field (the nn.ipynb counterparts of gp.py:383-438)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..models import mlp
+
+    fig, ax = plt.subplots()
+    ax.plot(np.median(pots, axis=0))
+    ax.set_xlabel("Kept sample")
+    ax.set_ylabel("Negative log posterior (median over chains)")
+    fig.savefig(os.path.join(out_dir, "post.pdf"))
+    plt.close(fig)
+
+    ci, si = np.unravel_index(np.argmin(pots), pots.shape)
+    mode = jax.tree.map(lambda x: jnp.asarray(x[ci, si]), positions)
+    lo = np.asarray(data["Y"]).reshape(-1, 2).min(0) - 0.5
+    hi = np.asarray(data["Y"]).reshape(-1, 2).max(0) + 0.5
+    gx, gy = np.meshgrid(np.linspace(lo[0], hi[0], 15),
+                         np.linspace(lo[1], hi[1], 15))
+    grid_pts = jnp.asarray(np.stack([gx.ravel(), gy.ravel()], 1))
+    field = np.asarray(mlp.mlp_vector_field(mode, 0.0, grid_pts))
+    fig, ax = plt.subplots(figsize=(6, 5))
+    ax.quiver(gx, gy, field[:, 0].reshape(gx.shape),
+              field[:, 1].reshape(gx.shape), alpha=0.6)
+    for traj in np.asarray(data["Y"]):
+        ax.plot(traj[:, 0], traj[:, 1], ".", ms=2)
+    ax.set_title(f"posterior mode MLP field ({config['method']})")
+    fig.savefig(os.path.join(out_dir, "phase_mode.pdf"))
+    plt.close(fig)
 
 
 def _plots_sampler(out_dir, config, data, static, positions, pots):

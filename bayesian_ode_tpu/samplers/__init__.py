@@ -22,6 +22,7 @@ from .langevin import (  # noqa: F401
     mmala,
     psgld,
     sgld,
+    psgld_batched,
     sgld_batched,
 )
 from .metrics import (  # noqa: F401
@@ -56,6 +57,7 @@ __all__ = [
     "sample_chains",
     "schedules",
     "sgld",
+    "psgld_batched",
     "sgld_batched",
     "sgrhmc",
     "softabs_metric",

@@ -241,6 +241,71 @@ def sgld_batched(potential_batch: Callable, step_size) -> TransitionKernel:
     return TransitionKernel(init, step)
 
 
+class BatchPreconditionedState(NamedTuple):
+    position: PyTree      # leaves carry a leading chain axis C
+    potential: jax.Array  # (C,)
+    grad: PyTree
+    v: PyTree
+    step: jax.Array
+
+
+def psgld_batched(potential_batch: Callable, step_size, alpha: float = 0.99,
+                  lambda_: float = 1e-5, add_noise: bool = True
+                  ) -> TransitionKernel:
+    """pSGLD over an entire chain batch in one kernel step.
+
+    Same update rule as `psgld` (langevin.py:478-497); the V/G
+    preconditioner is elementwise, so with independent chains stacked on a
+    leading axis the batched update is exactly the per-chain one.  Takes
+    the fused batch-potential contract of `sgld_batched`; use with
+    `sample_chain`.
+    """
+    sched = schedules.resolve(step_size)
+
+    def vag(position):
+        def f(p):
+            pots = potential_batch(p)
+            return jnp.sum(pots), pots
+
+        (_, pots), grads = jax.value_and_grad(f, has_aux=True)(position)
+        return pots, grads
+
+    def init(position):
+        u, g = vag(position)
+        v = jax.tree.map(jnp.zeros_like, g)
+        return BatchPreconditionedState(position, u, g, v,
+                                        jnp.asarray(0, jnp.int32))
+
+    def step(key, state):
+        lr = sched(state.step)
+        v = jax.tree.map(
+            lambda v_, g_: alpha * v_ + (1 - alpha) * g_**2, state.v,
+            state.grad,
+        )
+        G = jax.tree.map(lambda v_: 1.0 / (lambda_ + jnp.sqrt(v_)), v)
+        if add_noise:
+            noise = tree_random_normal(key, state.position)
+            new_pos = jax.tree.map(
+                lambda p, g_, G_, n: p - lr * G_ * g_
+                - langevin_noise_scale(lr) * jnp.sqrt(G_) * n,
+                state.position, state.grad, G, noise,
+            )
+        else:
+            new_pos = jax.tree.map(
+                lambda p, g_, G_: p - lr * G_ * g_, state.position,
+                state.grad, G,
+            )
+        u, g = vag(new_pos)
+        info = {"potential": state.potential, "accepted": jnp.asarray(True),
+                "step_size": lr}
+        return (
+            BatchPreconditionedState(new_pos, u, g, v, state.step + 1),
+            info,
+        )
+
+    return TransitionKernel(init, step)
+
+
 class AdamSGLDState(NamedTuple):
     position: PyTree
     potential: jax.Array

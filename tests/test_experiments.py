@@ -130,3 +130,24 @@ def test_run_optim_plots(tmp_path, tiny_data):
     for name in ["post.pdf", "post_log.pdf", "phase_map.pdf",
                  "trajectories.pdf"]:
         assert (out_dir / name).exists(), name
+
+
+def test_run_sampler_nn_model(tmp_path, tiny_data):
+    # the NN (MLP) mean-function baseline, generic engine + plots
+    cfg = tiny_config("pSGLD", model="nn", hidden=8, lr0=1e-4)
+    summary = run_sampler(cfg, tiny_data, str(tmp_path), make_plots=True)
+    assert np.isfinite(summary["min_potential"])
+    out_dir = tmp_path / "pSGLD" / "1"
+    assert (out_dir / "chain.npz").exists()
+    for name in ["post.pdf", "phase_mode.pdf"]:
+        assert (out_dir / name).exists(), name
+
+
+def test_run_sampler_nn_fused_engine(tmp_path, tiny_data):
+    # BASELINE config #3 shape on the fused kernels (interpret on CPU)
+    cfg = tiny_config("pSGLD", model="nn", hidden=8, lr0=1e-4,
+                      engine="fused", num_chains=128, burn_in=2,
+                      num_samples=4)
+    summary = run_sampler(cfg, tiny_data, str(tmp_path), make_plots=False)
+    assert np.isfinite(summary["min_potential"])
+    assert summary["num_chains"] == 128
