@@ -162,3 +162,27 @@ def test_adams_options_forwarded():
     y2 = odeint(p.func, p.y0, p.t, method="fixed_adams",
                 options={"max_iters": 2, "max_order": 6})
     assert rel_error(p.sol, y2) < ERROR_TOL
+
+
+def test_single_loop_emission_matches_scan_mode():
+    # mode="while" (one while loop, in-loop output emission) must produce
+    # the exact step sequence of the scan-over-output-times form
+    import jax
+
+    from bayesian_ode_tpu.models.dynamics import DYNAMICS
+
+    f = DYNAMICS["vdp"]
+    y0 = jnp.asarray([1.5, -0.3], jnp.float64)
+    ts = jnp.linspace(0.0, 10.0, 40, dtype=jnp.float64)
+    for method in ["dopri5", "tsit5"]:
+        ya, sa = odeint_with_stats(f, y0, ts, 1e-9, 1e-11, method)
+        yb, sb = odeint_with_stats(f, y0, ts, 1e-9, 1e-11, method,
+                                   options={"mode": "while_scan"})
+        assert jnp.array_equal(ya, yb), method
+        assert int(sa["nfe"]) == int(sb["nfe"])
+        assert int(sa["n_rejected"]) == int(sb["n_rejected"])
+    # vmapped chains with independent step control
+    y0s = jnp.stack([y0, 0.5 * y0, -y0])
+    run = jax.vmap(lambda y: odeint_with_stats(f, y, ts, 1e-9, 1e-11,
+                                               "dopri5")[0])
+    assert bool(jnp.isfinite(run(y0s)).all())
