@@ -1,6 +1,7 @@
 """Device-mesh parallelism (chain data-parallel + particle-parallel SVGD)."""
 from .chains import (  # noqa: F401
     run_svgd_sharded,
+    sample_chain_sharded_batched,
     sample_chains_sharded,
     svgd_step_sharded,
 )
@@ -11,6 +12,7 @@ __all__ = [
     "make_mesh_2d",
     "replicated",
     "run_svgd_sharded",
+    "sample_chain_sharded_batched",
     "sample_chains_sharded",
     "shard_leading_axis",
     "svgd_step_sharded",
