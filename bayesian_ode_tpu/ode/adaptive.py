@@ -50,6 +50,13 @@ class AdaptiveConfig:
     max_num_steps: int = 2**20
     mode: str = "while"  # 'while' | 'while_scan' | 'bounded'
     max_steps_per_interval: int = 256  # only for 'bounded'
+    # Kahan-compensated state carry: the low bits lost when committing each
+    # step increment are accumulated and re-injected into the next step, so
+    # long f32 integrations stop accumulating per-step rounding (~eps*|y|
+    # per step otherwise).  Lets the error-ratio ulps floor drop from 32 to
+    # 4, i.e. f32 TPU solves honestly resolve tolerances ~8x tighter.
+    compensated: bool = False
+    ulp_floor: Optional[float] = None  # default: 4 if compensated else 32
 
 
 # ---------------------------------------------------------------------------
@@ -122,8 +129,23 @@ def adaptive_step(func: Callable, state: AdaptiveState, tableau: ButcherTableau,
     y0, f0, t0, dt, coeff = state.y1, state.f1, state.t1, state.dt, state.interp_coeff
 
     y1, f1, y1_error, k = runge_kutta_step(func, y0, f0, t0, dt, tableau)
-    ratio = error_ratio(y1_error, cfg.rtol, cfg.atol, y0, y1)
+    floor = cfg.ulp_floor if cfg.ulp_floor is not None else (
+        4.0 if cfg.compensated else 32.0)
+    ratio = error_ratio(y1_error, cfg.rtol, cfg.atol, y0, y1, floor)
     accept = ratio <= 1.0
+
+    comp_next = state.comp
+    if cfg.compensated:
+        # Re-commit the increment with the accumulated compensation folded
+        # in, then recover this addition's lost low bits by fast-two-sum
+        # (|y0| >> |increment| on any resolved step, so the branch-free
+        # form is exact).  FSAL's f1 was evaluated at the uncompensated
+        # y1 — an O(eps*|y|) perturbation, below the method error.
+        dy = weighted_stage_sum(dt, tableau.c_sol, k)
+        d_eff = jax.tree.map(lambda d, c: d + c, dy, state.comp)
+        y1 = jax.tree.map(lambda y, d: y + d, y0, d_eff)
+        comp1 = jax.tree.map(lambda d, s, y: d - (s - y), d_eff, y1, y0)
+        comp_next = tree_where(accept, comp1, state.comp)
 
     y_next = tree_where(accept, y1, y0)
     f_next = tree_where(accept, f1, f0)
@@ -142,6 +164,7 @@ def adaptive_step(func: Callable, state: AdaptiveState, tableau: ButcherTableau,
         nfe=state.nfe + len(tableau.alpha),
         n_accepted=state.n_accepted + accept.astype(state.n_accepted.dtype),
         n_rejected=state.n_rejected + (~accept).astype(state.n_rejected.dtype),
+        comp=comp_next,
     )
 
 
@@ -174,6 +197,7 @@ def integrate_adaptive(func: Callable, y0: PyTree, ts: jax.Array,
         nfe=nfe0,
         n_accepted=jnp.asarray(0, jnp.int32),
         n_rejected=jnp.asarray(0, jnp.int32),
+        comp=jax.tree.map(jnp.zeros_like, y0) if cfg.compensated else None,
     )
 
     def step_fn(s):

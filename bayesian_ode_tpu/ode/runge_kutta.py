@@ -30,6 +30,9 @@ class AdaptiveState(NamedTuple):
     nfe:          number of RHS evaluations so far (reference counts this via
                   wrapper classes, e.g. DETEST/run.py:11-19).
     n_accepted / n_rejected: adaptive step accounting.
+    comp:         Kahan compensation tree (the low bits lost when adding the
+                  step increment to y1); None unless
+                  AdaptiveConfig.compensated.
     """
 
     y1: PyTree
@@ -41,6 +44,7 @@ class AdaptiveState(NamedTuple):
     nfe: jax.Array
     n_accepted: jax.Array
     n_rejected: jax.Array
+    comp: PyTree = None
 
 
 def _cast(c, like):

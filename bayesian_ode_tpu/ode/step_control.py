@@ -17,7 +17,8 @@ import jax.numpy as jnp
 from ..utils.pytree import PyTree, tree_rms_norm
 
 
-def error_ratio(y1_error: PyTree, rtol, atol, y0: PyTree, y1: PyTree):
+def error_ratio(y1_error: PyTree, rtol, atol, y0: PyTree, y1: PyTree,
+                ulp_floor: float = 32.0):
     """Scalar squared error ratio for accept/reject and step control.
 
     Per leaf: mean((err / (atol + rtol * max(|y0|, |y1|)))^2); the scalar
@@ -25,19 +26,21 @@ def error_ratio(y1_error: PyTree, rtol, atol, y0: PyTree, y1: PyTree):
     exactly the reference's mean-square ratio (misc.py:146-157 with the
     accept test at dopri5.py:110-111 and max-reduction at misc.py:161).
 
-    TPU f32 addition: the tolerance is floored at a few ulps of the state
-    magnitude.  Below that floor the error *estimate* is pure rounding
-    noise of the stage combination, and the controller would otherwise
-    collapse dt trying to resolve it (measured: ~170x NFE inflation for
-    rtol=1e-7 in f32 on the Van der Pol GP field).  In f64 the floor
-    (~1e-14 * |y|) sits far beneath every tested tolerance, so the strict
-    CPU accuracy gates are unaffected.
+    TPU f32 addition: the tolerance is floored at `ulp_floor` ulps of the
+    state magnitude.  Below that floor the error *estimate* is pure
+    rounding noise of the stage combination, and the controller would
+    otherwise collapse dt trying to resolve it (measured: ~170x NFE
+    inflation for rtol=1e-7 in f32 on the Van der Pol GP field).  With the
+    compensated carry (AdaptiveConfig.compensated) the accumulated-state
+    rounding is removed and a lower floor (4 ulps) is safe.  In f64 the
+    floor (~1e-14 * |y|) sits far beneath every tested tolerance, so the
+    strict CPU accuracy gates are unaffected.
     """
 
     def leaf_ratio(e, a, b):
         mag = jnp.maximum(jnp.abs(a), jnp.abs(b))
         tol = atol + rtol * mag
-        ulps = 32.0 * jnp.finfo(e.dtype).eps
+        ulps = ulp_floor * jnp.finfo(e.dtype).eps
         tol = jnp.maximum(tol, ulps * mag)
         return jnp.mean(jnp.square(e / tol))
 

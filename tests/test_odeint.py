@@ -186,3 +186,40 @@ def test_single_loop_emission_matches_scan_mode():
     run = jax.vmap(lambda y: odeint_with_stats(f, y, ts, 1e-9, 1e-11,
                                                "dopri5")[0])
     assert bool(jnp.isfinite(run(y0s)).all())
+
+
+def test_compensated_carry_f32_long_integration():
+    # Kahan-compensated state carry (options={"compensated": True}):
+    # rounding no longer random-walks over long f32 solves.  160 periods
+    # of the harmonic oscillator at rtol=1e-7: plain f32 drifts ~1e-3;
+    # compensated must be at least 3x more accurate (measured ~5x).
+    import math
+
+    import jax
+    import numpy as np
+
+    f = lambda t, y: jnp.stack([y[1], -y[0]])
+    y0 = jnp.asarray([1.0, 0.0], jnp.float32)
+    T = 1000.0
+    ts = jnp.asarray([0.0, T], jnp.float32)
+    exact = np.asarray([math.cos(T), -math.sin(T)])
+
+    y_plain, st_p = odeint_with_stats(f, y0, ts, 1e-7, 1e-9, "dopri5")
+    y_comp, st_c = odeint_with_stats(f, y0, ts, 1e-7, 1e-9, "dopri5",
+                                     options={"compensated": True})
+    err_plain = float(np.max(np.abs(np.asarray(y_plain[-1]) - exact)))
+    err_comp = float(np.max(np.abs(np.asarray(y_comp[-1]) - exact)))
+    assert err_comp < err_plain / 3.0, (err_plain, err_comp)
+    # the 4-ulps floor costs extra steps but bounded (< 2x)
+    assert int(st_c["nfe"]) < 2 * int(st_p["nfe"])
+
+    # reverse-mode gradients flow through the compensated carry (bounded)
+    def loss(y0_):
+        y = odeint(f, y0_, jnp.asarray([0.0, 5.0], jnp.float32),
+                   1e-5, 1e-7, "dopri5",
+                   options={"compensated": True, "mode": "bounded",
+                            "max_steps_per_interval": 64})
+        return jnp.sum(y[-1] ** 2)
+
+    g = jax.grad(loss)(y0)
+    assert bool(jnp.isfinite(g).all())
