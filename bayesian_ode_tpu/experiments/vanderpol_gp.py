@@ -203,6 +203,48 @@ def run_sampler(config: Dict, data: Dict, output: str,
                      infos["accepted"][None],
                      (n_chains,) + infos["accepted"].shape),
                  "step_size": infos["step_size"]}
+    elif config["method"] == "SVGD":
+        # BASELINE config #5: SVGD over a particle ensemble on the GP
+        # posterior (the reference's stein.py stub, completed).  The
+        # ensemble lives inside one kernel state, so this runs through
+        # sample_chain like the fused engines; particles double as chains.
+        # Caveats for the summary: the per-step potential is the ensemble
+        # mean (broadcast per particle), and ESS/R-hat are not meaningful
+        # for a deterministic interacting ensemble — reported only for
+        # schema consistency.
+        from ..utils.pytree import ravel_pytree
+
+        kernel = samplers.svgd(potential,
+                               step_size=config.get("lr", config["lr0"]))
+        jitter = config.get("jitter", 0.005)
+        pos0 = jax.tree.map(
+            lambda x: jnp.asarray(x)[None] + jitter * jax.random.normal(
+                jax.random.PRNGKey(config.get("seed", 0)),
+                (n_chains,) + jnp.shape(x), jnp.asarray(x).dtype),
+            params0,
+        )
+        state = kernel.init(pos0)
+        run = jax.jit(
+            lambda s, k: samplers.sample_chain(
+                kernel, s, k,
+                num_samples=config["num_samples"] // config["thinning"],
+                burn_in=config["burn_in"], thin=config["thinning"],
+            )
+        )
+        _, flat_positions, infos = jax.block_until_ready(
+            run(state, jax.random.PRNGKey(config.get("seed", 0) + 1))
+        )
+        # (samples, n, P) flat particles -> parameter pytree (n, samples, ..)
+        unravel = ravel_pytree(params0)[1]
+        positions = jax.vmap(jax.vmap(unravel))(flat_positions)
+        positions = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), positions)
+        pots_steps = infos["potential"]                 # (samples,) mean
+        infos = {"potential": jnp.broadcast_to(pots_steps[None],
+                                               (n_chains,) + pots_steps.shape),
+                 "accepted": jnp.broadcast_to(infos["accepted"][None],
+                                              (n_chains,)
+                                              + infos["accepted"].shape),
+                 "step_size": infos["step_size"]}
     else:
         kernel = make_sampler(config, potential)
         states = samplers.init_chains(kernel, jax.random.PRNGKey(config.get("seed", 0)),

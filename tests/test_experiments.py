@@ -151,3 +151,15 @@ def test_run_sampler_nn_fused_engine(tmp_path, tiny_data):
     summary = run_sampler(cfg, tiny_data, str(tmp_path), make_plots=False)
     assert np.isfinite(summary["min_potential"])
     assert summary["num_chains"] == 128
+
+
+def test_run_sampler_svgd(tmp_path, tiny_data):
+    # BASELINE config #5: SVGD particle ensemble on the GP posterior
+    cfg = tiny_config("SVGD", lr=1e-4, num_chains=8, burn_in=3,
+                      num_samples=6)
+    summary = run_sampler(cfg, tiny_data, str(tmp_path), make_plots=True)
+    assert np.isfinite(summary["min_potential"])
+    out_dir = tmp_path / "SVGD" / "1"
+    assert (out_dir / "chain.npz").exists()
+    for name in ["post.pdf", "phase_mode.pdf", "logsn_hist.pdf"]:
+        assert (out_dir / name).exists(), name
