@@ -13,7 +13,7 @@ the spiral batch dimension vmaps/shards.
 from __future__ import annotations
 
 import math
-from typing import Callable, Dict, NamedTuple, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.pytree import PyTree, tree_where
+from ..utils.pytree import PyTree
 from .fixed_grid import _build_grid, _linear_interp_onto
 from .runge_kutta import rk4_alt_step
 

@@ -12,7 +12,7 @@ from typing import Callable, List, NamedTuple
 
 import jax
 
-from ..utils.pytree import PyTree, tree_stack_scalar_weighted
+from ..utils.pytree import PyTree
 from .tableaus import ButcherTableau
 
 

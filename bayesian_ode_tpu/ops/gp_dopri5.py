@@ -22,7 +22,6 @@ tableau, controller constants, ulps tolerance floor, quartic fit).
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

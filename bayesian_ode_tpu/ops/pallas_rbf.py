@@ -15,7 +15,6 @@ Feature dimension is padded to the 128-lane tile; the bandwidth gamma
 """
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

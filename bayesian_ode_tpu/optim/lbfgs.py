@@ -19,7 +19,7 @@ Semantics preserved (file:line in optims/LBFGS.py):
 """
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

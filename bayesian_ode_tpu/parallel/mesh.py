@@ -9,7 +9,7 @@ algorithm), with XLA collectives riding ICI.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

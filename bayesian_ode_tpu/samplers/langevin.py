@@ -11,7 +11,7 @@ posterior, evaluated with `jax.value_and_grad` — the reference's
 """
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

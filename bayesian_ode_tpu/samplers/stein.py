@@ -23,7 +23,7 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..utils.pytree import PyTree, ravel_pytree
+from ..utils.pytree import ravel_pytree
 from . import schedules
 from .base import TransitionKernel
 
