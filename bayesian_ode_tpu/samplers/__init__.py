@@ -5,8 +5,9 @@ Reference suite: samplers/ of jaivardhankapoor/bayesian-ode (see SURVEY.md
 positions built from `potential_fn(theta) -> -log posterior`; chains run
 via `sample_chain`/`sample_chains` and shard over device meshes.
 """
-from .base import (  # noqa: F401
+from .base import (
     TransitionKernel,
+    guard_finite,
     init_chains,
     sample_chain,
     sample_chains,
@@ -43,6 +44,7 @@ __all__ = [
     "asgld",
     "csgld",
     "ess",
+    "guard_finite",
     "ess_per_param",
     "flat_hessian",
     "hamcmc",

@@ -116,3 +116,38 @@ def langevin_noise_scale(lr):
     noise is drawn standard and scaled once.
     """
     return jnp.sqrt(2.0 * lr)
+
+
+def guard_finite(kernel: TransitionKernel) -> TransitionKernel:
+    """Freeze a chain on its last finite state instead of propagating NaNs.
+
+    The reference raises ValueError the moment a sampler step produces a
+    non-finite parameter (langevin.py:184-192, 467-469, 946-948;
+    hamiltonian.py:50-51) and aborts the process.  Under jit we cannot
+    raise, and with 10^4 vmapped chains one divergent chain must not kill
+    the other 9,999 — so the TPU-native sanitizer commits the wrapped
+    kernel's new state only when every float leaf is finite, and reports
+    per-step `info["finite"]`.  A rejected chain retries from its last
+    fully-finite state with fresh noise on the next step, so transient
+    excursions recover on their own; a persistently divergent chain
+    effectively freezes, and downstream diagnostics can drop it by masking
+    on `info["finite"]`.
+    """
+
+    def init(position):
+        return kernel.init(position)
+
+    def step(key, state):
+        new_state, info = kernel.step(key, state)
+        flags = [jnp.all(jnp.isfinite(leaf))
+                 for leaf in jax.tree.leaves(new_state)
+                 if jnp.issubdtype(leaf.dtype, jnp.floating)]
+        finite = jnp.stack(flags).all() if flags else jnp.asarray(True)
+        out_state = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old), new_state, state
+        )
+        info = dict(info)
+        info["finite"] = finite
+        return out_state, info
+
+    return TransitionKernel(init, step)

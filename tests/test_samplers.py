@@ -256,3 +256,30 @@ def test_hamcmc_metropolis_correction():
     acc = float(jnp.mean(infos["accepted"][:, -500:].astype(jnp.float32)))
     assert 0.1 < acc <= 1.0, acc
     check_moments(positions, mean_tol=0.25, cov_tol=0.4)
+
+
+def test_guard_finite_freezes_divergent_chain():
+    # TPU-native replacement for the reference's raise-on-NaN sanitizer
+    # (langevin.py:184-192): a non-finite step is rejected (retried with
+    # fresh noise next step) and flagged info["finite"] instead of
+    # poisoning the batch; this potential diverges persistently, so the
+    # chain freezes.
+    div = jnp.asarray([3.0])
+
+    def potential(x):
+        # blows up once |x| crosses 2: gradient pushes x past it quickly
+        return jnp.sum(jnp.where(jnp.abs(x) > 2.0, jnp.nan, -10.0 * x))
+
+    kernel = samplers.guard_finite(samplers.sgld(potential, 0.5))
+    state = kernel.init(jnp.asarray([0.0]))
+    key = jax.random.PRNGKey(0)
+    _, positions, infos = samplers.sample_chain(kernel, state, key,
+                                                num_samples=20)
+    pos = np.asarray(positions)
+    fin = np.asarray(infos["finite"])
+    assert not fin.all()              # it did diverge at some point
+    assert np.isfinite(pos).all()     # ...but no NaN ever reached the chain
+    # frozen: once non-finite, the position stops moving
+    first_bad = int(np.argmin(fin))
+    assert np.array_equal(pos[first_bad:], np.broadcast_to(
+        pos[first_bad], pos[first_bad:].shape))
