@@ -203,7 +203,22 @@ def asgld(potential_fn: Callable, step_size, alpha: float = 0.99,
 class BatchLangevinState(NamedTuple):
     position: PyTree      # leaves carry a leading chain axis C
     potential: jax.Array  # (C,)
+    grad: PyTree
     step: jax.Array
+
+
+def _batch_value_and_grad(potential_batch: Callable):
+    """One fused forward+backward pass returning ((C,) pots, grads)."""
+
+    def vag(position):
+        def f(p):
+            pots = potential_batch(p)
+            return jnp.sum(pots), pots
+
+        (_, pots), grads = jax.value_and_grad(f, has_aux=True)(position)
+        return pots, grads
+
+    return vag
 
 
 def sgld_batched(potential_batch: Callable, step_size) -> TransitionKernel:
@@ -214,29 +229,29 @@ def sgld_batched(potential_batch: Callable, step_size) -> TransitionKernel:
     like ops.gp_rk4.make_fused_gp_potential, whose Pallas kernels need the
     whole batch in one call (per-chain vmap would defeat the fusion).
     Use with `sample_chain` (not `sample_chains`): the batch axis lives
-    inside the state.  Same update rule as `sgld`.
+    inside the state.  Same update rule as `sgld`; like `sgld`, the state
+    carries (potential, grad) at the current position so each step costs
+    exactly one fused forward+backward pass, and `info["potential"]` is
+    the pre-step value.
     """
     sched = schedules.resolve(step_size)
+    vag = _batch_value_and_grad(potential_batch)
 
     def init(position):
-        return BatchLangevinState(
-            position, potential_batch(position), jnp.asarray(0, jnp.int32)
-        )
+        u, g = vag(position)
+        return BatchLangevinState(position, u, g, jnp.asarray(0, jnp.int32))
 
     def step(key, state):
         lr = sched(state.step)
-        _, grads = jax.value_and_grad(
-            lambda p: jnp.sum(potential_batch(p))
-        )(state.position)
         noise = tree_random_normal(key, state.position)
         new_pos = jax.tree.map(
             lambda p, g, n: p - lr * g - langevin_noise_scale(lr) * n,
-            state.position, grads, noise,
+            state.position, state.grad, noise,
         )
-        pots = potential_batch(new_pos)
-        info = {"potential": pots, "accepted": jnp.asarray(True),
+        u, g = vag(new_pos)
+        info = {"potential": state.potential, "accepted": jnp.asarray(True),
                 "step_size": lr}
-        return BatchLangevinState(new_pos, pots, state.step + 1), info
+        return BatchLangevinState(new_pos, u, g, state.step + 1), info
 
     return TransitionKernel(init, step)
 
@@ -261,14 +276,7 @@ def psgld_batched(potential_batch: Callable, step_size, alpha: float = 0.99,
     `sample_chain`.
     """
     sched = schedules.resolve(step_size)
-
-    def vag(position):
-        def f(p):
-            pots = potential_batch(p)
-            return jnp.sum(pots), pots
-
-        (_, pots), grads = jax.value_and_grad(f, has_aux=True)(position)
-        return pots, grads
+    vag = _batch_value_and_grad(potential_batch)
 
     def init(position):
         u, g = vag(position)
