@@ -277,8 +277,12 @@ def _retry(fn, *args, attempts=3, wait=120, **kw):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chains", type=int, default=10000)
-    ap.add_argument("--samples", type=int, default=60)
-    ap.add_argument("--burn-in", type=int, default=60)
+    # 400+400 steps: the FFT-ESS estimator saturates on sub-100-sample
+    # windows (barely-moving chains read as white noise), so short windows
+    # overstate SGLD and understate pSGLD; 400 kept samples costs ~2.3s
+    # per phase at 10k chains and gives stable estimates.
+    ap.add_argument("--samples", type=int, default=400)
+    ap.add_argument("--burn-in", type=int, default=400)
     ap.add_argument("--rtol", type=float, default=1e-7)
     ap.add_argument("--atol", type=float, default=1e-9)
     ap.add_argument("--quick", action="store_true")
