@@ -43,7 +43,7 @@ def mixture_potential(mixture=(0.5, 0.5), means=((-1, -1), (1, 1)),
     un-normalized component form as the reference (no 1/2 exponent
     factor, 1/(s1 s2 sqrt(1-r^2)) weights)."""
     mixture = jnp.asarray(mixture)
-    means = jnp.asarray(means, jnp.float64).astype(jnp.result_type(float))
+    means = jnp.asarray(means, jnp.result_type(float))
     sigmas = jnp.asarray(sigmas).astype(jnp.result_type(float))
     corr = jnp.asarray(corr).astype(jnp.result_type(float))
 
