@@ -79,6 +79,9 @@ def run_toy(config: Dict, output: str, dists=("banana", "gauss",
             axes = [axes]
 
     for j, name in enumerate(dists):
+        if name not in TOY_POTENTIALS:
+            raise ValueError(f"unknown toy density {name!r}; expected one "
+                             f"of {sorted(TOY_POTENTIALS)}")
         potential = TOY_POTENTIALS[name]()
         kernel = make_toy_sampler(config, potential)
         x0 = jnp.zeros(2) if name != "gauss" else jnp.asarray([2.0, 4.0])
