@@ -277,6 +277,8 @@ def _retry(fn, *args, attempts=3, wait=120, **kw):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chains", type=int, default=10000)
+    ap.add_argument("--chains-max", type=int, default=163840,
+                    help="chain count for the peak-throughput phase")
     # 400+400 steps: the FFT-ESS estimator saturates on sub-100-sample
     # windows (barely-moving chains read as white noise), so short windows
     # overstate SGLD and understate pSGLD; 400 kept samples costs ~2.3s
@@ -329,6 +331,23 @@ def main():
         f"# dopri5 fwd (fused pallas): {f_chains} chains, {f_dt:.3f}s, mean "
         f"NFE {f_nfe:.0f}, reached={f_ok}", file=sys.stderr,
     )
+
+    # peak throughput: the fused kernel is latency-bound below ~20k chains
+    # and keeps scaling past the north-star 10k shape (measured 1.05M
+    # solves/s at 163,840 chains, 1.0us per adaptive rtol=1e-7 solve)
+    peak_sps, peak_chains = 0.0, 0
+    if not args.quick:
+        try:
+            pe, p_dt, _, p_ok, p_C = _retry(
+                fused_dopri5_throughput, data, static, params0, kr,
+                args.chains_max, args.rtol, args.atol,
+            )
+            if p_ok:
+                peak_sps, peak_chains = p_C / p_dt, p_C
+                print(f"# peak fused throughput: {peak_sps:.0f} solves/s "
+                      f"at {p_C} chains", file=sys.stderr)
+        except Exception as e:
+            print(f"# peak phase skipped: {e}", file=sys.stderr)
 
     eff_sps, sgld_sps, sgld_dt = _retry(
         sgld_effective_samples, data, static, params0, kr, args.chains,
@@ -397,6 +416,8 @@ def main():
         "effective_samples_per_sec": round(eff_sps, 2),
         "psgld_steps_per_sec": round(p_sps, 1),
         "psgld_effective_samples_per_sec": round(p_eff, 2),
+        "peak_solves_per_sec": round(peak_sps, 1),
+        "peak_chains": peak_chains,
     }))
 
 
