@@ -12,7 +12,7 @@ reference's deployment unit (1 chain per CPU process, SLURM array;
 SURVEY.md §2.9).  The reference publishes no numbers (BASELINE.md), so
 this measured single-chain-CPU rate stands in as the baseline.
 
-Usage: python bench.py [--chains 10000] [--steps 20] [--quick]
+Usage: python bench.py [--chains 10000] [--samples 400] [--quick]
 """
 from __future__ import annotations
 
