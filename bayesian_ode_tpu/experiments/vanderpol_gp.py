@@ -247,6 +247,11 @@ def run_sampler(config: Dict, data: Dict, output: str,
                  "step_size": infos["step_size"]}
     else:
         kernel = make_sampler(config, potential)
+        if config.get("guard_finite"):
+            # jit-safe NaN sanitizer (replaces the reference's raise-on-NaN
+            # aborts, langevin.py:184-192): divergent chains freeze on
+            # their last finite state instead of poisoning the batch
+            kernel = samplers.guard_finite(kernel)
         states = samplers.init_chains(kernel, jax.random.PRNGKey(config.get("seed", 0)),
                                       params0, n_chains, jitter=config.get("jitter", 0.005))
         keys = jax.random.split(jax.random.PRNGKey(config.get("seed", 0) + 1), n_chains)

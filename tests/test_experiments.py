@@ -163,3 +163,14 @@ def test_run_sampler_svgd(tmp_path, tiny_data):
     assert (out_dir / "chain.npz").exists()
     for name in ["post.pdf", "phase_mode.pdf", "logsn_hist.pdf"]:
         assert (out_dir / name).exists(), name
+
+
+def test_run_sampler_guard_finite_flag(tmp_path, tiny_data):
+    # config {"guard_finite": true} sandboxes divergent chains: at an
+    # absurd lr the unguarded run records NaN potentials; guarded stays
+    # finite (frozen on the last finite state)
+    cfg = tiny_config("SGLD", lr0=50.0, guard_finite=True)
+    summary = run_sampler(cfg, tiny_data, str(tmp_path), make_plots=False)
+    pots = np.load(tmp_path / "SGLD" / "1" / "total_loss_arr.npy")
+    assert np.isfinite(pots).all()
+    assert np.isfinite(summary["min_potential"])
