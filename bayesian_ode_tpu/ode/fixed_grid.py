@@ -76,20 +76,33 @@ def _linear_interp_onto(ts, grid, ys_grid: PyTree) -> PyTree:
 
 
 def integrate_fixed_grid(func: Callable, y0: PyTree, ts: jax.Array, method: str,
-                         step_size: Optional[float] = None):
-    """Integrate on a fixed grid, returning (ys at `ts`, stats)."""
+                         step_size: Optional[float] = None,
+                         compensated: bool = False):
+    """Integrate on a fixed grid, returning (ys at `ts`, stats).
+
+    compensated=True carries the Kahan compensation of each `y += dy`
+    (the step functions return increments, so fast-two-sum applies
+    directly) — long f32 grids stop accumulating per-step rounding.
+    """
     step = STEP_FUNCS[method]
 
     grid = ts if step_size is None else _build_grid(ts, step_size)
 
-    def body(y, t01):
+    def body(carry, t01):
+        y, comp = carry
         t0, t1 = t01
         dy, evals = step(func, t0, t1 - t0, y)
-        y1 = jax.tree.map(lambda a, b: a + b, y, dy)
-        return y1, (y1, evals)
+        if compensated:
+            d_eff = jax.tree.map(lambda d, c: d + c, dy, comp)
+            y1 = jax.tree.map(lambda a, d: a + d, y, d_eff)
+            comp = jax.tree.map(lambda d, s, a: d - (s - a), d_eff, y1, y)
+        else:
+            y1 = jax.tree.map(lambda a, b: a + b, y, dy)
+        return (y1, comp), (y1, evals)
 
+    comp0 = jax.tree.map(jnp.zeros_like, y0) if compensated else None
     t_pairs = (grid[:-1], grid[1:])
-    _, (ys_tail, evals) = jax.lax.scan(body, y0, t_pairs)
+    _, (ys_tail, evals) = jax.lax.scan(body, (y0, comp0), t_pairs)
     ys_grid = jax.tree.map(
         lambda first, rest: jnp.concatenate([first[None], rest], axis=0), y0, ys_tail
     )

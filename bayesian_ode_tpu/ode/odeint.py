@@ -48,7 +48,9 @@ def _solve_adaptive(tableau, interp_kind):
 
 def _solve_fixed(method):
     def solve(func, y0, ts, rtol, atol, options):
-        return integrate_fixed_grid(func, y0, ts, method, options.get("step_size"))
+        return integrate_fixed_grid(func, y0, ts, method,
+                                    options.get("step_size"),
+                                    options.get("compensated", False))
 
     return solve
 
