@@ -14,6 +14,7 @@ import argparse
 import jax
 
 from ..models import make_dataset
+from ..utils import enable_persistent_cache
 from .config import load_config
 from .toy import run_toy
 from .vanderpol_gp import worker
@@ -32,6 +33,7 @@ def main(argv=None):
     ap.add_argument("--no-plots", action="store_true")
     args = ap.parse_args(argv)
 
+    enable_persistent_cache()
     blob = load_config(args.json_dir, args.id)
     output = blob["output"]
 

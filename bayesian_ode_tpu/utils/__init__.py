@@ -1,1 +1,2 @@
 from . import pytree  # noqa: F401
+from .compile_cache import enable_persistent_cache  # noqa: F401

@@ -1,0 +1,51 @@
+"""Persistent XLA compilation cache.
+
+The fused Pallas trajectory kernels (ops/gp_rk4.py, ops/mlp_rk4.py,
+ops/gp_dopri5.py) take minutes of Mosaic compile time at first use on a
+TPU — longer than many short sampling runs.  The reference has no
+analogue (PyTorch eager has no compile step); for this framework the
+compile cost is real and the fix is JAX's persistent compilation cache,
+which keys executables by (HLO, compiler flags, jaxlib version, backend)
+and makes every process after the first load the binary from disk in
+milliseconds.
+
+Call `enable_persistent_cache()` once per process, before the first jit
+execution.  Entry points (bench.py, experiments/run.py, examples/) do
+this by default; opt out with BODE_NO_COMPILE_CACHE=1 or a custom
+location via BODE_COMPILE_CACHE_DIR.
+"""
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = os.path.join(
+    os.path.expanduser("~"), ".cache", "bayesian_ode_tpu", "xla_cache"
+)
+
+_enabled = False
+
+
+def enable_persistent_cache(path: str | None = None,
+                            min_compile_time_secs: float = 1.0) -> str | None:
+    """Point JAX's compilation cache at a persistent on-disk directory.
+
+    Only executables whose compile took >= `min_compile_time_secs` are
+    written (the default keeps tiny jits out of the cache; the fused
+    trajectory kernels are minutes).  Returns the cache dir, or None if
+    disabled via BODE_NO_COMPILE_CACHE=1.  Safe to call more than once.
+    """
+    global _enabled
+    if os.environ.get("BODE_NO_COMPILE_CACHE") == "1":
+        return None
+    path = path or os.environ.get("BODE_COMPILE_CACHE_DIR") or _DEFAULT_DIR
+    if _enabled:
+        return path
+
+    import jax
+
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_time_secs)
+    _enabled = True
+    return path

@@ -47,6 +47,10 @@ if __name__ == "__main__" and os.environ.get("BENCH_INNER") != "1" \
 import jax
 import jax.numpy as jnp
 
+from bayesian_ode_tpu.utils import enable_persistent_cache
+
+enable_persistent_cache()
+
 
 def build_problem():
     from bayesian_ode_tpu.models import kernel_regression as kr

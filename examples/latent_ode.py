@@ -24,6 +24,10 @@ from bayesian_ode_tpu.utils.meters import RunningAverageMeter
 
 
 def main():
+    from bayesian_ode_tpu.utils import enable_persistent_cache
+
+    enable_persistent_cache()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--niters", type=int, default=2000)
     ap.add_argument("--lr", type=float, default=0.01)

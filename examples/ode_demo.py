@@ -24,6 +24,10 @@ from bayesian_ode_tpu.utils.meters import RunningAverageMeter
 
 
 def main():
+    from bayesian_ode_tpu.utils import enable_persistent_cache
+
+    enable_persistent_cache()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--method", default="dopri5",
                     choices=["dopri5", "tsit5", "adams", "rk4"])

@@ -46,6 +46,10 @@ def synthetic_digits(key, n, size=28):
 
 
 def main():
+    from bayesian_ode_tpu.utils import enable_persistent_cache
+
+    enable_persistent_cache()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--niters", type=int, default=500)
     ap.add_argument("--batch-size", type=int, default=128)

@@ -24,3 +24,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compile cache (keyed by HLO, so safe across code edits): the
+# slow suites (test_sharding, fused-kernel interpret-mode compiles) are
+# compile-dominated and repeat across CI runs.
+from bayesian_ode_tpu.utils import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(min_compile_time_secs=2.0)

@@ -1,5 +1,6 @@
 """Utility-layer gates: meters, profiling, logging."""
 import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -39,3 +40,22 @@ def test_run_logger(tmp_path):
     assert len(lines) == 2
     rec = json.loads(lines[1])
     assert rec["event"] == "b" and rec["arr"] == [1.0, 2.0]
+
+
+def test_enable_persistent_cache(tmp_path, monkeypatch):
+    import bayesian_ode_tpu.utils.compile_cache as cc
+
+    prev = jax.config.jax_compilation_cache_dir
+    monkeypatch.setattr(cc, "_enabled", False)
+    cache_dir = str(tmp_path / "xla_cache")
+    try:
+        assert cc.enable_persistent_cache(cache_dir) == cache_dir
+        assert os.path.isdir(cache_dir)
+        assert jax.config.jax_compilation_cache_dir == cache_dir
+        # Idempotent; and the kill switch wins over any path.
+        assert cc.enable_persistent_cache(cache_dir) == cache_dir
+        monkeypatch.setattr(cc, "_enabled", False)
+        monkeypatch.setenv("BODE_NO_COMPILE_CACHE", "1")
+        assert cc.enable_persistent_cache(cache_dir) is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
