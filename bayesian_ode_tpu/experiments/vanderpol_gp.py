@@ -137,7 +137,7 @@ def run_sampler(config: Dict, data: Dict, output: str,
                 make_plots: bool = True) -> Dict[str, Any]:
     """Posterior sampling (gp.py:290-507) over vmapped chains.
 
-    config["engine"] == "fused" runs SGLD/pSGLD through the fused Pallas
+    config["engine"] == "fused" runs SGLD/pSGLD/aSGHMC through the fused Pallas
     trajectory kernels (ops/gp_rk4.py for the GP field, ops/mlp_rk4.py for
     model="nn"; ~12x faster on TPU); chain counts are rounded up to a
     multiple of 128 there.
@@ -149,8 +149,8 @@ def run_sampler(config: Dict, data: Dict, output: str,
     static, params0, potential, sq_err = build_model(config, data)
     n_chains = config.get("num_chains", 64)
 
-    if config.get("engine") == "fused" and config["method"] in ("SGLD",
-                                                                 "pSGLD"):
+    if config.get("engine") == "fused" and config["method"] in (
+            "SGLD", "pSGLD", "aSGHMC"):
         f32 = jnp.float32
         n_chains = ((n_chains + 127) // 128) * 128
         if config.get("model", "gp") == "nn":
@@ -175,6 +175,11 @@ def run_sampler(config: Dict, data: Dict, output: str,
             kernel = samplers.psgld_batched(pot_batch, _poly_sched(config),
                                             alpha=config["psgld_alpha"],
                                             lambda_=config["lambda_"])
+        elif config["method"] == "aSGHMC":
+            kernel = samplers.asghmc_batched(
+                pot_batch, config["lr"], burn_in_steps=config["burn_in"],
+                mom_decay=config.get("mom_decay", 5e-2),
+                lambda_=config["lambda_"])
         else:
             kernel = samplers.sgld_batched(pot_batch, _poly_sched(config))
         jitter = config.get("jitter", 0.005)

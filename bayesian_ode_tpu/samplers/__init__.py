@@ -14,7 +14,7 @@ from .base import (
 )
 from .diagnostics import acceptance_rate, ess, ess_per_param, split_rhat  # noqa: F401
 from .hamcmc import hamcmc  # noqa: F401
-from .hamiltonian import acsghmc, asghmc, sgrhmc  # noqa: F401
+from .hamiltonian import acsghmc, asghmc, asghmc_batched, sgrhmc  # noqa: F401
 from .langevin import (  # noqa: F401
     adam_sgld,
     asgld,
@@ -41,6 +41,7 @@ __all__ = [
     "acsghmc",
     "adam_sgld",
     "asghmc",
+    "asghmc_batched",
     "asgld",
     "csgld",
     "ess",

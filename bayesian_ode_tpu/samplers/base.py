@@ -108,6 +108,28 @@ def potential_and_grad(potential_fn: Callable):
     return jax.value_and_grad(potential_fn)
 
 
+def batch_value_and_grad(potential_batch: Callable):
+    """Value-and-grad for the fused batch-potential contract.
+
+    `potential_batch(params)` maps leaves with a leading chain axis C to a
+    (C,) vector of potentials (e.g. ops.gp_rk4.make_fused_gp_potential,
+    whose Pallas kernels need the whole batch in one call).  Returns
+    `vag(position) -> ((C,) potentials, grads)` computed in ONE fused
+    forward+backward pass — summing the potentials makes the batch grad
+    exactly the stack of per-chain grads, since chains are independent.
+    """
+
+    def vag(position):
+        def f(p):
+            pots = potential_batch(p)
+            return jnp.sum(pots), pots
+
+        (_, pots), grads = jax.value_and_grad(f, has_aux=True)(position)
+        return pots, grads
+
+    return vag
+
+
 def langevin_noise_scale(lr):
     """Effective Langevin noise std sqrt(2*lr).
 

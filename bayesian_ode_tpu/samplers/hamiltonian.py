@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from ..utils.pytree import PyTree, tree_random_normal
 from . import schedules
-from .base import TransitionKernel
+from .base import TransitionKernel, batch_value_and_grad
 
 
 class SGHMCState(NamedTuple):
@@ -89,9 +89,11 @@ def _sghmc_core(key, state, lr, grad, mom_decay, lambda_, burn_in,
     return position, tau, g_avg, v_hat, momentum
 
 
-def _make_sghmc(potential_fn, lr_fn, mom_decay, lambda_, resample_every,
+def _make_sghmc(value_and_grad, lr_fn, mom_decay, lambda_, resample_every,
                 burn_in_steps, noise_fn):
-    value_and_grad = jax.value_and_grad(potential_fn)
+    """value_and_grad(position) -> (potential(s), grad pytree); a scalar
+    potential for per-chain kernels, a (C,) vector for batched ones (the
+    whole aSGHMC update is elementwise, so both share this machinery)."""
 
     def init(position):
         u, g = value_and_grad(position)
@@ -144,8 +146,30 @@ def asghmc(potential_fn: Callable, step_size, burn_in_steps: int,
     lr_fn = schedules.resolve(step_size)
     noise_fn = (lambda t: jnp.asarray(add_noise)) if add_noise else (
         lambda t: jnp.asarray(False))
-    return _make_sghmc(potential_fn, lr_fn, mom_decay, lambda_,
-                       resample_momentum_every, burn_in_steps, noise_fn)
+    return _make_sghmc(jax.value_and_grad(potential_fn), lr_fn, mom_decay,
+                       lambda_, resample_momentum_every, burn_in_steps,
+                       noise_fn)
+
+
+def asghmc_batched(potential_batch: Callable, step_size, burn_in_steps: int,
+                   mom_decay: float = 5e-2, lambda_: float = 1e-5,
+                   resample_momentum_every: Optional[int] = None,
+                   add_noise: bool = True) -> TransitionKernel:
+    """aSGHMC over an entire chain batch in one kernel step.
+
+    Every part of the update — (tau, g, v_hat) adaptation, preconditioner,
+    momentum, noise — is elementwise, so with independent chains stacked on
+    a leading axis the batched update is exactly the per-chain one (same
+    argument as `langevin.psgld_batched`).  Takes the fused batch-potential
+    contract of `sgld_batched` (e.g. ops.gp_rk4.make_fused_gp_potential);
+    use with `sample_chain`, not `sample_chains`.
+    """
+    lr_fn = schedules.resolve(step_size)
+    noise_fn = (lambda t: jnp.asarray(add_noise)) if add_noise else (
+        lambda t: jnp.asarray(False))
+    return _make_sghmc(batch_value_and_grad(potential_batch), lr_fn,
+                       mom_decay, lambda_, resample_momentum_every,
+                       burn_in_steps, noise_fn)
 
 
 class SGRHMCState(NamedTuple):
@@ -218,5 +242,6 @@ def acsghmc(potential_fn: Callable, lr0: float, num_cycles: int,
     def noise_fn(t):
         return schedules.cycle_position(t, num_cycles, total_iters) > beta
 
-    return _make_sghmc(potential_fn, lr_fn, mom_decay, lambda_,
-                       resample_momentum_every, burn_in_steps, noise_fn)
+    return _make_sghmc(jax.value_and_grad(potential_fn), lr_fn, mom_decay,
+                       lambda_, resample_momentum_every, burn_in_steps,
+                       noise_fn)

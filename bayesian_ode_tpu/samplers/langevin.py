@@ -24,7 +24,11 @@ from ..utils.pytree import (
     tree_where,
 )
 from . import schedules
-from .base import TransitionKernel, langevin_noise_scale
+from .base import (
+    TransitionKernel,
+    batch_value_and_grad,
+    langevin_noise_scale,
+)
 
 
 class LangevinState(NamedTuple):
@@ -207,18 +211,7 @@ class BatchLangevinState(NamedTuple):
     step: jax.Array
 
 
-def _batch_value_and_grad(potential_batch: Callable):
-    """One fused forward+backward pass returning ((C,) pots, grads)."""
-
-    def vag(position):
-        def f(p):
-            pots = potential_batch(p)
-            return jnp.sum(pots), pots
-
-        (_, pots), grads = jax.value_and_grad(f, has_aux=True)(position)
-        return pots, grads
-
-    return vag
+_batch_value_and_grad = batch_value_and_grad
 
 
 def sgld_batched(potential_batch: Callable, step_size) -> TransitionKernel:

@@ -221,6 +221,46 @@ def fused_psgld_effective_samples(data, static, params0, kr, n_chains,
     return (ess0 + ess1) / 2.0 / dt, C * steps / dt, dt, C
 
 
+def fused_asghmc_effective_samples(data, static, params0, kr, n_chains,
+                                   num_samples, burn_in, lr=2e-3,
+                                   mom_decay=0.05):
+    """aSGHMC through the fused kernels (samplers.asghmc_batched over
+    ops/gp_rk4): the momentum carries the chain across the posterior much
+    faster than Langevin diffusion per gradient evaluation."""
+    from bayesian_ode_tpu import samplers
+    from bayesian_ode_tpu.ops.gp_rk4 import make_fused_gp_potential
+
+    f32 = jnp.float32
+    C = ((n_chains + 127) // 128) * 128
+    static32 = static._replace(
+        Z=static.Z.astype(f32), KzzinvL=static.KzzinvL.astype(f32),
+        Kzzinv=static.Kzzinv.astype(f32),
+    )
+    pos0 = {
+        "U": params0["U"].astype(f32)[None] + 0.005 * jax.random.normal(
+            jax.random.PRNGKey(1), (C, 36, 2), f32),
+        "logsn": jnp.broadcast_to(params0["logsn"].astype(f32), (C, 2))
+        + 0.005 * jax.random.normal(jax.random.PRNGKey(2), (C, 2), f32),
+    }
+    pot = make_fused_gp_potential(static32, data["x0"].astype(f32),
+                                  data["t"].astype(f32),
+                                  data["Y"].astype(f32))
+    kernel = samplers.asghmc_batched(pot, lr, burn_in_steps=burn_in,
+                                     mom_decay=mom_decay)
+    state = kernel.init(pos0)
+    run = jax.jit(lambda s, k: samplers.sample_chain(
+        kernel, s, k, num_samples=num_samples, burn_in=burn_in))
+    jax.block_until_ready(run(state, jax.random.PRNGKey(0)))
+    t0 = time.perf_counter()
+    _, positions, _ = jax.block_until_ready(run(state, jax.random.PRNGKey(9)))
+    dt = time.perf_counter() - t0
+    kept = jnp.swapaxes(positions["logsn"], 0, 1)      # (C, samples, 2)
+    ess0 = float(samplers.ess(kept[:, :, 0]))
+    ess1 = float(samplers.ess(kept[:, :, 1]))
+    steps = num_samples + burn_in
+    return (ess0 + ess1) / 2.0 / dt, C * steps / dt, dt, C
+
+
 def sgld_effective_samples(data, static, params0, kr, n_chains, num_samples,
                            burn_in, grad_engine="discrete"):
     """Effective samples/sec of SGLD on the posterior.

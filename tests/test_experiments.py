@@ -123,6 +123,14 @@ def test_run_sampler_fused_engine(tmp_path, tiny_data):
     assert (out_dir / "chain.npz").exists()
 
 
+def test_run_sampler_fused_engine_asghmc(tmp_path, tiny_data):
+    cfg = tiny_config("aSGHMC", engine="fused", num_chains=128, lr=1e-4,
+                      burn_in=2, num_samples=4)
+    summary = run_sampler(cfg, tiny_data, str(tmp_path), make_plots=False)
+    assert np.isfinite(summary["min_potential"])
+    assert summary["num_chains"] == 128
+
+
 def test_run_optim_plots(tmp_path, tiny_data):
     cfg = tiny_config("Adam", inf_type="optim", lr=1e-3)
     run_optim(cfg, tiny_data, str(tmp_path), make_plots=True)

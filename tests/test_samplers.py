@@ -99,6 +99,48 @@ def test_asghmc_gaussian_moments():
     check_moments(positions, mean_tol=0.25, cov_tol=0.45)
 
 
+def test_asghmc_batched_matches_per_chain():
+    # The batched kernel (fused-potential contract, one state for the whole
+    # batch) must reproduce the vmapped per-chain kernel exactly: with the
+    # noise and momentum resampling off, every part of the update is
+    # deterministic and elementwise.
+    C = 8
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (C, 2))
+    per_chain = samplers.asghmc(gauss_potential, step_size=0.1,
+                                burn_in_steps=20, mom_decay=0.05,
+                                add_noise=False)
+    states = jax.vmap(per_chain.init)(x0)
+    _, pos_ref, _ = samplers.sample_chains(
+        per_chain, states, jax.random.split(jax.random.PRNGKey(1), C),
+        num_samples=40, burn_in=0,
+    )                                           # (C, samples, 2)
+
+    batched = samplers.asghmc_batched(
+        jax.vmap(gauss_potential), step_size=0.1, burn_in_steps=20,
+        mom_decay=0.05, add_noise=False,
+    )
+    _, pos_b, infos = samplers.sample_chain(
+        batched, batched.init(x0), jax.random.PRNGKey(2), num_samples=40,
+        burn_in=0,
+    )                                           # (samples, C, 2)
+    assert infos["potential"].shape == (40, C)
+    np.testing.assert_allclose(np.asarray(jnp.swapaxes(pos_b, 0, 1)),
+                               np.asarray(pos_ref), rtol=1e-6, atol=1e-6)
+
+
+def test_asghmc_batched_gaussian_moments():
+    kernel = samplers.asghmc_batched(jax.vmap(gauss_potential),
+                                     step_size=0.1, burn_in_steps=200,
+                                     mom_decay=0.05)
+    x0 = jax.random.normal(jax.random.PRNGKey(3), (32, 2))
+    _, positions, _ = samplers.sample_chain(
+        kernel, kernel.init(x0), jax.random.PRNGKey(4), num_samples=2000,
+        burn_in=300,
+    )
+    check_moments(jnp.swapaxes(positions, 0, 1), mean_tol=0.25,
+                  cov_tol=0.45)
+
+
 def test_mmala_softabs_gaussian():
     metric = samplers.softabs_metric(gauss_potential, softabs_coeff=1e3)
     kernel = samplers.mmala(gauss_potential, step_size=0.5, metric_fn=metric)
