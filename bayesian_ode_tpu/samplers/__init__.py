@@ -14,7 +14,13 @@ from .base import (
 )
 from .diagnostics import acceptance_rate, ess, ess_per_param, split_rhat  # noqa: F401
 from .hamcmc import hamcmc  # noqa: F401
-from .hamiltonian import acsghmc, asghmc, asghmc_batched, sgrhmc  # noqa: F401
+from .hamiltonian import (  # noqa: F401
+    acsghmc,
+    acsghmc_batched,
+    asghmc,
+    asghmc_batched,
+    sgrhmc,
+)
 from .langevin import (  # noqa: F401
     adam_sgld,
     asgld,
@@ -39,6 +45,7 @@ __all__ = [
     "TransitionKernel",
     "acceptance_rate",
     "acsghmc",
+    "acsghmc_batched",
     "adam_sgld",
     "asghmc",
     "asghmc_batched",

@@ -245,3 +245,21 @@ def acsghmc(potential_fn: Callable, lr0: float, num_cycles: int,
     return _make_sghmc(jax.value_and_grad(potential_fn), lr_fn, mom_decay,
                        lambda_, resample_momentum_every, burn_in_steps,
                        noise_fn)
+
+
+def acsghmc_batched(potential_batch: Callable, lr0: float, num_cycles: int,
+                    total_iters: int, burn_in_steps: int, beta: float = 0.25,
+                    mom_decay: float = 5e-2, lambda_: float = 1e-5,
+                    resample_momentum_every: Optional[int] = None
+                    ) -> TransitionKernel:
+    """Cyclical aSGHMC over an entire chain batch (see `asghmc_batched`
+    for the batching argument; the cosine schedule and noise phase depend
+    only on the shared step counter)."""
+    lr_fn = schedules.cyclical_cosine(lr0, num_cycles, total_iters)
+
+    def noise_fn(t):
+        return schedules.cycle_position(t, num_cycles, total_iters) > beta
+
+    return _make_sghmc(batch_value_and_grad(potential_batch), lr_fn,
+                       mom_decay, lambda_, resample_momentum_every,
+                       burn_in_steps, noise_fn)

@@ -222,7 +222,7 @@ def fused_psgld_effective_samples(data, static, params0, kr, n_chains,
 
 
 def fused_asghmc_effective_samples(data, static, params0, kr, n_chains,
-                                   num_samples, burn_in, lr=2e-3,
+                                   num_samples, burn_in, lr=8e-3,
                                    mom_decay=0.05):
     """aSGHMC through the fused kernels (samplers.asghmc_batched over
     ops/gp_rk4): the momentum carries the chain across the posterior much
@@ -410,6 +410,20 @@ def main():
     print(f"# psgld (fused): {p_sps:.0f} steps/s, {p_eff:.0f} ess/s, "
           f"{p_dt:.2f}s", file=sys.stderr)
 
+    # aSGHMC at lr=8e-3/c=0.05: the largest step whose STATIONARY moments
+    # stay within ~0.9 sigma of the small-step limit (constant-lr pSGLD at
+    # 1e-3/2e-3 and aSGHMC at 4e-3/6e-3 agree: logsn mean (-2.98,-2.79),
+    # std ~0.048; 12k-step runs at 2048 chains).  lr=1.2e-2 doubles ess/s
+    # again (6.5k) but shifts the logsn mean by 1-2 sigma — rejected.
+    # Momentum decorrelates ~1.5x faster than pSGLD's preconditioner per
+    # wall-second at the same fused step rate.
+    h_eff, h_sps, h_dt, _ = _retry(
+        fused_asghmc_effective_samples, data, static, params0, kr,
+        args.chains, args.samples, args.burn_in,
+    )
+    print(f"# asghmc (fused): {h_sps:.0f} steps/s, {h_eff:.0f} ess/s, "
+          f"{h_dt:.2f}s", file=sys.stderr)
+
     # Baseline: one chain on one CPU core (the reference's deployment
     # unit), measured in a subprocess with a forced-CPU jax backend
     # (initializing a second backend in-process hangs under this
@@ -464,6 +478,8 @@ def main():
         "effective_samples_per_sec": round(eff_sps, 2),
         "psgld_steps_per_sec": round(p_sps, 1),
         "psgld_effective_samples_per_sec": round(p_eff, 2),
+        "asghmc_steps_per_sec": round(h_sps, 1),
+        "asghmc_effective_samples_per_sec": round(h_eff, 2),
         "peak_solves_per_sec": round(peak_sps, 1),
         "peak_chains": peak_chains,
     }))

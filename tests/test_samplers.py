@@ -128,6 +128,29 @@ def test_asghmc_batched_matches_per_chain():
                                np.asarray(pos_ref), rtol=1e-6, atol=1e-6)
 
 
+def test_acsghmc_batched_matches_per_chain():
+    # cyclical variant: noise only in sampling phases, so compare full
+    # trajectories with a fixed schedule and noise globally disabled via
+    # beta=1.0 (cycle position never exceeds 1, so no phase injects noise)
+    C = 4
+    x0 = jax.random.normal(jax.random.PRNGKey(10), (C, 2))
+    kw = dict(lr0=0.05, num_cycles=2, total_iters=30, burn_in_steps=10,
+              beta=1.0, mom_decay=0.05)
+    per_chain = samplers.acsghmc(gauss_potential, **kw)
+    states = jax.vmap(per_chain.init)(x0)
+    _, pos_ref, _ = samplers.sample_chains(
+        per_chain, states, jax.random.split(jax.random.PRNGKey(11), C),
+        num_samples=30, burn_in=0,
+    )
+    batched = samplers.acsghmc_batched(jax.vmap(gauss_potential), **kw)
+    _, pos_b, _ = samplers.sample_chain(
+        batched, batched.init(x0), jax.random.PRNGKey(12), num_samples=30,
+        burn_in=0,
+    )
+    np.testing.assert_allclose(np.asarray(jnp.swapaxes(pos_b, 0, 1)),
+                               np.asarray(pos_ref), rtol=1e-6, atol=1e-6)
+
+
 def test_asghmc_batched_gaussian_moments():
     kernel = samplers.asghmc_batched(jax.vmap(gauss_potential),
                                      step_size=0.1, burn_in_steps=200,
