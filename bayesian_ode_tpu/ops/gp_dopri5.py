@@ -54,96 +54,124 @@ class GPDopri5State(NamedTuple):
     nrej: jax.Array
 
 
+def _make_rhs(sf: float, ell: float, N: int, RP: int, ax, ay, zx, zy):
+    """GP field at the N points: f = K(x, Z) A, all VPU elementwise.
+
+    Shared by the per-step and whole-solve kernels so the RHS arithmetic
+    (and hence every step decision) is single-source."""
+    sf2 = sf * sf
+    inv2ell2 = 0.5 / (ell * ell)
+
+    def rhs(sx, sy):
+        outx, outy = [], []
+        for n in range(N):
+            dxn = sx[n : n + 1, :] - zx                # (MP, C)
+            dyn = sy[n : n + 1, :] - zy
+            K = sf2 * jnp.exp(-(dxn * dxn + dyn * dyn) * inv2ell2)
+            outx.append(jnp.sum(K * ax, axis=0, keepdims=True))
+            outy.append(jnp.sum(K * ay, axis=0, keepdims=True))
+        pad = jnp.zeros_like(outx[0])
+        return (jnp.concatenate(outx + [pad] * (RP - N), 0),
+                jnp.concatenate(outy + [pad] * (RP - N), 0))
+
+    return rhs
+
+
+def _rk_stages(rhs, px, py, fx, fy, dt):
+    """Dopri5 RK stages (FSAL: 6 evaluations).  Returns the stage
+    derivative lists and (y1, f1); the last stage IS (t1, y1)."""
+    kx = [fx]
+    ky = [fy]
+    for beta_i in DOPRI5.beta:
+        incx = sum(b * k for b, k in zip(beta_i, kx) if b != 0)
+        incy = sum(b * k for b, k in zip(beta_i, ky) if b != 0)
+        sx = px + dt * incx
+        sy = py + dt * incy
+        fxi, fyi = rhs(sx, sy)
+        kx.append(fxi)
+        ky.append(fyi)
+    return kx, ky, sx, sy, kx[-1], ky[-1]
+
+
+def _step_decision(kx, ky, px, py, y1x, y1y, dt, rtol, atol, safety,
+                   ifactor, dfactor, N, RP):
+    """Embedded error ratio (mean square over the 2N valid components,
+    with the 32-ulps tolerance floor) + the PI controller
+    (ode/step_control.optimal_step_size).  Returns (accept, ratio,
+    dt_next) — identical in both fused kernels by construction."""
+    c_err = DOPRI5.c_error
+    order = DOPRI5.order
+    errx = dt * sum(c * k for c, k in zip(c_err, kx) if c != 0)
+    erry = dt * sum(c * k for c, k in zip(c_err, ky) if c != 0)
+
+    eps = jnp.float32(1.1920929e-07)
+    row_mask = jax.lax.broadcasted_iota(jnp.int32, (RP, 1), 0) < N
+
+    def comp_ratio(err, y0, y1):
+        mag = jnp.maximum(jnp.abs(y0), jnp.abs(y1))
+        tol = jnp.maximum(atol + rtol * mag, _ULPS * eps * mag)
+        r = err / tol
+        return jnp.sum(jnp.where(row_mask, r * r, 0.0), axis=0,
+                       keepdims=True)
+
+    ratio = (comp_ratio(errx, px, y1x) + comp_ratio(erry, py, y1y)) / (
+        2 * N
+    )                                                    # (1, C)
+    accept = ratio <= 1.0
+
+    dfac = jnp.where(ratio < 1.0, 1.0, dfactor)
+    err_nrm = jnp.sqrt(jnp.maximum(ratio, jnp.float32(1e-38)))
+    factor = jnp.maximum(
+        1.0 / ifactor,
+        jnp.minimum(err_nrm ** (1.0 / order) / safety, 1.0 / dfac),
+    )
+    factor = jnp.where(jnp.isfinite(factor), factor, 1.0 / dfac)
+    dt_next = jnp.where(ratio == 0.0, dt * ifactor, dt / factor)
+    return accept, ratio, dt_next
+
+
+def _quartic_coeffs(y0, y1, ymid, f0, f1, dt):
+    """Dense-output quartic fit (ode/interp.interp_fit), highest-order
+    coefficient first."""
+    a = -2 * dt * f0 + 2 * dt * f1 - 8 * y0 - 8 * y1 + 16 * ymid
+    b = 5 * dt * f0 - 3 * dt * f1 + 18 * y0 + 14 * y1 - 32 * ymid
+    c = -4 * dt * f0 + dt * f1 - 11 * y0 - 5 * y1 + 16 * ymid
+    d = dt * f0
+    return a, b, c, d, y0
+
+
+def _midpoint(p, kx, dt):
+    return p + dt * sum(c * k for c, k in zip(DOPRI5.c_mid, kx) if c != 0)
+
+
 def _make_kernel(sf: float, ell: float, rtol: float, atol: float,
                  safety: float, ifactor: float, dfactor: float,
                  N: int, RP: int, steps_per_call: int = 1):
-    sf2 = sf * sf
-    inv2ell2 = 0.5 / (ell * ell)
-    alphas = DOPRI5.alpha
-    betas = DOPRI5.beta
-    c_err = DOPRI5.c_error
-    c_mid = DOPRI5.c_mid
-    order = DOPRI5.order
-
     def kernel(next_t_ref, px_ref, py_ref, fx_ref, fy_ref, t0_ref, t1_ref,
                dt_ref, cx_ref, cy_ref, nfe_ref, nacc_ref, nrej_ref,
                ax_ref, ay_ref, zx_ref, zy_ref,
                opx, opy, ofx, ofy, ot0, ot1, odt, ocx, ocy, onfe, onacc,
                onrej):
         next_t = next_t_ref[0]
-        ax, ay = ax_ref[:], ay_ref[:]
-        zx, zy = zx_ref[:], zy_ref[:]
+        rhs = _make_rhs(sf, ell, N, RP, ax_ref[:], ay_ref[:], zx_ref[:],
+                        zy_ref[:])
 
         def one_step(carry):
             (px, py, fx, fy, t0c, t1, dt, cxc, cyc, nfe, nacc, nrej) = carry
             active = t1 < next_t                       # (1, C)
 
-            def rhs(sx, sy):
-                """GP field at the N points: f = K(x, Z) A, all VPU."""
-                outx, outy = [], []
-                for n in range(N):
-                    dxn = sx[n : n + 1, :] - zx            # (40, C)
-                    dyn = sy[n : n + 1, :] - zy
-                    K = sf2 * jnp.exp(-(dxn * dxn + dyn * dyn) * inv2ell2)
-                    outx.append(jnp.sum(K * ax, axis=0, keepdims=True))
-                    outy.append(jnp.sum(K * ay, axis=0, keepdims=True))
-                pad = jnp.zeros_like(outx[0])
-                return (jnp.concatenate(outx + [pad] * (RP - N), 0),
-                        jnp.concatenate(outy + [pad] * (RP - N), 0))
+            kx, ky, y1x, y1y, f1x, f1y = _rk_stages(rhs, px, py, fx, fy, dt)
+            accept, ratio, dt_next = _step_decision(
+                kx, ky, px, py, y1x, y1y, dt, rtol, atol, safety, ifactor,
+                dfactor, N, RP)
 
-            # --- RK stages (FSAL: 6 evaluations) ---
-            kx = [fx]
-            ky = [fy]
-            for beta_i in betas:
-                incx = sum(b * k for b, k in zip(beta_i, kx) if b != 0)
-                incy = sum(b * k for b, k in zip(beta_i, ky) if b != 0)
-                sx = px + dt * incx
-                sy = py + dt * incy
-                fxi, fyi = rhs(sx, sy)
-                kx.append(fxi)
-                ky.append(fyi)
-            y1x, y1y = sx, sy                # last stage is (t1, y1) (FSAL)
-            f1x, f1y = kx[-1], ky[-1]
-
-            errx = dt * sum(c * k for c, k in zip(c_err, kx) if c != 0)
-            erry = dt * sum(c * k for c, k in zip(c_err, ky) if c != 0)
-
-            # --- error ratio (mean square over the 10 valid components) ---
-            eps = jnp.float32(1.1920929e-07)
-            row_mask = jax.lax.broadcasted_iota(jnp.int32, (RP, 1), 0) < N
-
-            def comp_ratio(err, y0, y1):
-                mag = jnp.maximum(jnp.abs(y0), jnp.abs(y1))
-                tol = jnp.maximum(atol + rtol * mag, _ULPS * eps * mag)
-                r = err / tol
-                return jnp.sum(jnp.where(row_mask, r * r, 0.0), axis=0,
-                               keepdims=True)
-
-            ratio = (comp_ratio(errx, px, y1x) + comp_ratio(erry, py, y1y)) / (
-                2 * N
-            )                                                # (1, C)
-            accept = ratio <= 1.0
-
-            # --- PI controller (ode/step_control.optimal_step_size) ---
-            dfac = jnp.where(ratio < 1.0, 1.0, dfactor)
-            err_nrm = jnp.sqrt(jnp.maximum(ratio, jnp.float32(1e-38)))
-            factor = jnp.maximum(
-                1.0 / ifactor,
-                jnp.minimum(err_nrm ** (1.0 / order) / safety, 1.0 / dfac),
-            )
-            factor = jnp.where(jnp.isfinite(factor), factor, 1.0 / dfac)
-            dt_next = jnp.where(ratio == 0.0, dt * ifactor, dt / factor)
-
-            # --- dense-output quartic fit (ode/interp.interp_fit) ---
-            midx = px + dt * sum(c * k for c, k in zip(c_mid, kx) if c != 0)
-            midy = py + dt * sum(c * k for c, k in zip(c_mid, ky) if c != 0)
+            midx = _midpoint(px, kx, dt)
+            midy = _midpoint(py, ky, dt)
 
             def fit(y0, y1, ymid, f0, f1):
-                a = -2 * dt * f0 + 2 * dt * f1 - 8 * y0 - 8 * y1 + 16 * ymid
-                b = 5 * dt * f0 - 3 * dt * f1 + 18 * y0 + 14 * y1 - 32 * ymid
-                c = -4 * dt * f0 + dt * f1 - 11 * y0 - 5 * y1 + 16 * ymid
-                d = dt * f0
-                return jnp.concatenate([a, b, c, d, y0], axis=0)   # (40, C)
+                return jnp.concatenate(
+                    _quartic_coeffs(y0, y1, ymid, f0, f1, dt), axis=0
+                )                                      # (5*RP, C)
 
             new_cx = fit(px, y1x, midx, fx, f1x)
             new_cy = fit(py, y1y, midy, fy, f1y)
@@ -181,7 +209,7 @@ def _make_kernel(sf: float, ell: float, rtol: float, atol: float,
     return kernel
 
 
-def _pack_initial(A, x0, ts, static, rtol, atol, C, N, RP, MP):
+def _pack_initial(A, x0, static, rtol, atol, C, N, RP, MP):
     """Lane-major packing + Hairer-style initial step, shared by the
     per-step and whole-solve fused solvers.  Returns
     (px, py, fx, fy (RP, C); dt0 (1, C); consts (ax, ay, zx, zy);
@@ -257,34 +285,15 @@ def _make_whole_kernel(sf: float, ell: float, rtol: float, atol: float,
     carry: they are consumed by emission in the iteration that computes
     them.
     """
-    sf2 = sf * sf
-    inv2ell2 = 0.5 / (ell * ell)
-    betas = DOPRI5.beta
-    c_err = DOPRI5.c_error
-    c_mid = DOPRI5.c_mid
-    order = DOPRI5.order
-
     def kernel(px_ref, py_ref, fx_ref, fy_ref, t1_ref, dt_ref,
                ax_ref, ay_ref, zx_ref, zy_ref, ts_ref,
                oxs_ref, oys_ref, onfe_ref, onacc_ref, onrej_ref, ot1_ref):
-        ax, ay = ax_ref[:], ay_ref[:]
-        zx, zy = zx_ref[:], zy_ref[:]
         tsv = ts_ref[:]                     # (TP, 1); padded rows = _FAR
         tf = tsv[T - 1 : T, :]              # (1, 1) final time
         oxs_ref[:] = jnp.zeros(oxs_ref.shape, oxs_ref.dtype)
         oys_ref[:] = jnp.zeros(oys_ref.shape, oys_ref.dtype)
-
-        def rhs(sx, sy):
-            outx, outy = [], []
-            for n in range(N):
-                dxn = sx[n : n + 1, :] - zx
-                dyn = sy[n : n + 1, :] - zy
-                K = sf2 * jnp.exp(-(dxn * dxn + dyn * dyn) * inv2ell2)
-                outx.append(jnp.sum(K * ax, axis=0, keepdims=True))
-                outy.append(jnp.sum(K * ay, axis=0, keepdims=True))
-            pad = jnp.zeros_like(outx[0])
-            return (jnp.concatenate(outx + [pad] * (RP - N), 0),
-                    jnp.concatenate(outy + [pad] * (RP - N), 0))
+        rhs = _make_rhs(sf, ell, N, RP, ax_ref[:], ay_ref[:], zx_ref[:],
+                        zy_ref[:])
 
         def cond(carry):
             (px, py, fx, fy, t1, dt, nfe, nacc, nrej) = carry
@@ -294,45 +303,10 @@ def _make_whole_kernel(sf: float, ell: float, rtol: float, atol: float,
             (px, py, fx, fy, t1, dt, nfe, nacc, nrej) = carry
             active = t1 < tf                               # (1, C)
 
-            # --- RK stages (identical to the per-step kernel) ---
-            kx = [fx]
-            ky = [fy]
-            for beta_i in betas:
-                incx = sum(b * k for b, k in zip(beta_i, kx) if b != 0)
-                incy = sum(b * k for b, k in zip(beta_i, ky) if b != 0)
-                sx = px + dt * incx
-                sy = py + dt * incy
-                fxi, fyi = rhs(sx, sy)
-                kx.append(fxi)
-                ky.append(fyi)
-            y1x, y1y = sx, sy
-            f1x, f1y = kx[-1], ky[-1]
-
-            errx = dt * sum(c * k for c, k in zip(c_err, kx) if c != 0)
-            erry = dt * sum(c * k for c, k in zip(c_err, ky) if c != 0)
-
-            eps = jnp.float32(1.1920929e-07)
-            row_mask = jax.lax.broadcasted_iota(jnp.int32, (RP, 1), 0) < N
-
-            def comp_ratio(err, y0, y1):
-                mag = jnp.maximum(jnp.abs(y0), jnp.abs(y1))
-                tol = jnp.maximum(atol + rtol * mag, _ULPS * eps * mag)
-                r = err / tol
-                return jnp.sum(jnp.where(row_mask, r * r, 0.0), axis=0,
-                               keepdims=True)
-
-            ratio = (comp_ratio(errx, px, y1x)
-                     + comp_ratio(erry, py, y1y)) / (2 * N)
-            accept = ratio <= 1.0
-
-            dfac = jnp.where(ratio < 1.0, 1.0, dfactor)
-            err_nrm = jnp.sqrt(jnp.maximum(ratio, jnp.float32(1e-38)))
-            factor = jnp.maximum(
-                1.0 / ifactor,
-                jnp.minimum(err_nrm ** (1.0 / order) / safety, 1.0 / dfac),
-            )
-            factor = jnp.where(jnp.isfinite(factor), factor, 1.0 / dfac)
-            dt_next = jnp.where(ratio == 0.0, dt * ifactor, dt / factor)
+            kx, ky, y1x, y1y, f1x, f1y = _rk_stages(rhs, px, py, fx, fy, dt)
+            accept, ratio, dt_next = _step_decision(
+                kx, ky, px, py, y1x, y1y, dt, rtol, atol, safety, ifactor,
+                dfactor, N, RP)
 
             take = active & accept
             step_taken = active
@@ -343,23 +317,10 @@ def _make_whole_kernel(sf: float, ell: float, rtol: float, atol: float,
 
             @pl.when(jnp.any(emit))
             def _():
-                midx = px + dt * sum(c * k for c, k in zip(c_mid, kx)
-                                     if c != 0)
-                midy = py + dt * sum(c * k for c, k in zip(c_mid, ky)
-                                     if c != 0)
-
-                def coeffs(y0, y1, ymid, f0, f1):
-                    a = (-2 * dt * f0 + 2 * dt * f1 - 8 * y0 - 8 * y1
-                         + 16 * ymid)
-                    b = (5 * dt * f0 - 3 * dt * f1 + 18 * y0 + 14 * y1
-                         - 32 * ymid)
-                    c = (-4 * dt * f0 + dt * f1 - 11 * y0 - 5 * y1
-                         + 16 * ymid)
-                    d = dt * f0
-                    return a, b, c, d, y0
-
-                cfs_x = coeffs(px, y1x, midx, fx, f1x)     # 5 x (RP, C)
-                cfs_y = coeffs(py, y1y, midy, fy, f1y)
+                midx = _midpoint(px, kx, dt)
+                midy = _midpoint(py, ky, dt)
+                cfs_x = _quartic_coeffs(px, y1x, midx, fx, f1x, dt)
+                cfs_y = _quartic_coeffs(py, y1y, midy, fy, f1y, dt)
                 X = (tsv - t1) / dt                        # (TP, C)
 
                 def horner(cfs, n):
@@ -389,8 +350,27 @@ def _make_whole_kernel(sf: float, ell: float, rtol: float, atol: float,
         carry = (px_ref[:], py_ref[:], fx_ref[:], fy_ref[:], t1_ref[:],
                  dt_ref[:], jnp.full_like(t1_ref[:], 2.0),
                  jnp.zeros_like(t1_ref[:]), jnp.zeros_like(t1_ref[:]))
-        (_, _, _, _, t1, _, nfe, nacc, nrej) = jax.lax.while_loop(
+        (px, py, _, _, t1, _, nfe, nacc, nrej) = jax.lax.while_loop(
             cond, body, carry)
+
+        # Output times never crossed (possible only on max_steps
+        # exhaustion) hold the chain's FINAL state instead of the zeros
+        # the buffers were initialized with — callers that ignore
+        # reached_final_time see a frozen trajectory, not silent zeros.
+        # (The per-step kernel extrapolates its last quartic instead;
+        # the paths only differ on budget exhaustion.)
+        rest = tsv > t1                                    # (TP, C)
+
+        @pl.when(jnp.any(rest))
+        def _():
+            for n in range(N):
+                blk = oxs_ref[pl.ds(n * TP, TP), :]
+                oxs_ref[pl.ds(n * TP, TP), :] = jnp.where(
+                    rest, px[n : n + 1, :], blk)
+                blk = oys_ref[pl.ds(n * TP, TP), :]
+                oys_ref[pl.ds(n * TP, TP), :] = jnp.where(
+                    rest, py[n : n + 1, :], blk)
+
         onfe_ref[:] = nfe
         onacc_ref[:] = nacc
         onrej_ref[:] = nrej
@@ -403,9 +383,13 @@ def gp_dopri5_solve_whole(A, x0, ts, static, rtol=1e-7, atol=1e-9,
                           safety=0.9, ifactor=10.0, dfactor=0.2,
                           max_steps=100_000, tile=1024, interpret=False):
     """Whole-solve variant of `gp_dopri5_solve`: same semantics and stats
-    (identical tableau/controller/quartic, so NFE matches), ~2-3x faster —
-    the adaptive while-loop runs inside the kernel, so chains don't
-    barrier at every output interval (see _make_whole_kernel).
+    (identical tableau/controller/quartic — the step arithmetic is shared
+    code — so NFE matches), ~1.4x faster — the adaptive while-loop runs
+    inside the kernel, so chains don't barrier at every output interval
+    (see _make_whole_kernel).  The one behavioral difference: on
+    max_steps exhaustion, un-reached output times hold the chain's final
+    state (the per-step path extrapolates its last quartic); check
+    stats["reached_final_time"].
 
     A (C, M, 2), x0 (N, 2) shared, ts (T,) increasing.  Returns
     (ys (T, C, N, 2), stats).  Any C >= 1: the chain axis is padded up to
@@ -413,15 +397,12 @@ def gp_dopri5_solve_whole(A, x0, ts, static, rtol=1e-7, atol=1e-9,
     a diverging pad lane would spin the while loop — and chain 0's own
     step count never exceeds the true max), then sliced back, so an
     awkward C (e.g. 10,112 = 79 x 128) doesn't walk the tile down to 128
-    and serialize the grid.
+    and serialize the grid.  Unlike the per-step path, the (N*TP, tile)
+    output blocks live in VMEM, so the tile is walked down (in 128-lane
+    multiples) until the two output blocks fit a ~8 MiB budget — dense
+    output grids trade grid-level parallelism, not compilability.
     """
     C_in = A.shape[0]
-    tile = max(128, min(tile, ((C_in + 127) // 128) * 128))
-    C = ((C_in + tile - 1) // tile) * tile
-    if C != C_in:
-        A = jnp.concatenate(
-            [A, jnp.broadcast_to(A[:1], (C - C_in,) + A.shape[1:])], axis=0
-        )
     f32 = jnp.float32
     ts = ts.astype(f32)
     N = x0.shape[-2]
@@ -430,7 +411,17 @@ def gp_dopri5_solve_whole(A, x0, ts, static, rtol=1e-7, atol=1e-9,
     TP = _pad8(T)
     MP = _pad8(static.Z.shape[0])
 
-    (px, py, fxp, fyp, dt0, consts, x0b) = _pack_initial(A, x0, ts, static,
+    tile = max(128, min(tile, ((C_in + 127) // 128) * 128))
+    tile -= tile % 128                      # BlockSpec lane width contract
+    while tile > 128 and 2 * N * TP * tile * 4 > 8 * 1024 * 1024:
+        tile -= 128
+    C = ((C_in + tile - 1) // tile) * tile
+    if C != C_in:
+        A = jnp.concatenate(
+            [A, jnp.broadcast_to(A[:1], (C - C_in,) + A.shape[1:])], axis=0
+        )
+
+    (px, py, fxp, fyp, dt0, consts, x0b) = _pack_initial(A, x0, static,
                                                          rtol, atol, C, N,
                                                          RP, MP)
     ax, ay, zx, zy = consts
@@ -554,7 +545,7 @@ def gp_dopri5_solve(A, x0, ts, static, rtol=1e-7, atol=1e-9, safety=0.9,
     cfg = (static.sf, static.ell, rtol, atol, safety, ifactor, dfactor)
 
     (px, py, fxp, fyp, dt0, consts, x0b) = _pack_initial(
-        A, x0, ts, static, rtol, atol, C, N, RP, MP)
+        A, x0, static, rtol, atol, C, N, RP, MP)
 
     t0s = jnp.full((1, C), ts[0], f32)
     zeros_c = jnp.zeros((5 * RP, C), f32)
@@ -582,8 +573,7 @@ def gp_dopri5_solve(A, x0, ts, static, rtol=1e-7, atol=1e-9, safety=0.9,
         return state, y
 
     state, ys_tail = jax.lax.scan(advance, state, ts[1:])
-    y0_out = jnp.broadcast_to(x0.astype(f32), (C, N, 2))
-    ys = jnp.concatenate([y0_out[None], ys_tail], axis=0)
+    ys = jnp.concatenate([x0b[None], ys_tail], axis=0)
     stats = {
         "nfe": state.nfe[0].astype(jnp.int32),
         "n_accepted": state.nacc[0].astype(jnp.int32),

@@ -127,15 +127,12 @@ def fused_dopri5_throughput(data, static, params0, kr, n_chains, rtol,
             bool(st["reached_final_time"]), C)
 
 
-def fused_sgld_effective_samples(data, static, params0, kr, n_chains,
-                                 num_samples, burn_in):
-    """SGLD with the fused rk4 forward+backward Pallas kernels
-    (ops/gp_rk4.py): measured 1.83M steps/s at 10,240 chains — 11.8x the
-    generic discrete-backprop path."""
-    from bayesian_ode_tpu import samplers
+def _fused_gp_setup(data, static, params0, n_chains):
+    """Shared setup for the fused-sampler ESS phases: chain count rounded
+    to a 128 multiple, f32 statics, jittered batch start (fixed PRNG keys
+    so every phase samples from the same initialization), and the fused
+    rk4 batch potential."""
     from bayesian_ode_tpu.ops.gp_rk4 import make_fused_gp_potential
-    from bayesian_ode_tpu.samplers import schedules
-    from bayesian_ode_tpu.samplers.base import langevin_noise_scale
 
     f32 = jnp.float32
     C = ((n_chains + 127) // 128) * 128
@@ -143,40 +140,53 @@ def fused_sgld_effective_samples(data, static, params0, kr, n_chains,
         Z=static.Z.astype(f32), KzzinvL=static.KzzinvL.astype(f32),
         Kzzinv=static.Kzzinv.astype(f32),
     )
-    U0 = params0["U"].astype(f32)[None] + 0.005 * jax.random.normal(
-        jax.random.PRNGKey(1), (C, 36, 2), f32)
-    ls0 = jnp.broadcast_to(params0["logsn"].astype(f32), (C, 2)) \
-        + 0.005 * jax.random.normal(jax.random.PRNGKey(2), (C, 2), f32)
+    pos0 = {
+        "U": params0["U"].astype(f32)[None] + 0.005 * jax.random.normal(
+            jax.random.PRNGKey(1), (C, 36, 2), f32),
+        "logsn": jnp.broadcast_to(params0["logsn"].astype(f32), (C, 2))
+        + 0.005 * jax.random.normal(jax.random.PRNGKey(2), (C, 2), f32),
+    }
     pot = make_fused_gp_potential(static32, data["x0"].astype(f32),
                                   data["t"].astype(f32),
                                   data["Y"].astype(f32))
-    sched = schedules.polynomial_decay(lr0=1e-5, gamma=0.55, t0=100)
-    steps = num_samples + burn_in
+    return pos0, pot, C
 
-    def body(carry, k):
-        U, ls, t = carry
-        _, (gU, gls) = jax.value_and_grad(
-            lambda u, l: jnp.sum(pot({"U": u, "logsn": l})), argnums=(0, 1)
-        )(U, ls)
-        lr = sched(t)
-        kU, kl = jax.random.split(k)
-        U = U - lr * gU - langevin_noise_scale(lr) * jax.random.normal(
-            kU, U.shape, f32)
-        ls = ls - lr * gls - langevin_noise_scale(lr) * jax.random.normal(
-            kl, ls.shape, f32)
-        return (U, ls, t + 1), ls
 
-    run = jax.jit(lambda U, ls, k: jax.lax.scan(
-        body, (U, ls, jnp.int32(0)), jax.random.split(k, steps)))
-    out = jax.block_until_ready(run(U0, ls0, jax.random.PRNGKey(0)))
+def _time_kernel_ess(kernel, pos0, C, num_samples, burn_in):
+    """Compile + warm, then time one sampling run and reduce the logsn
+    marginals to effective samples/sec (the measurement protocol every
+    fused phase shares; 400-sample windows — shorter ones saturate the
+    FFT-ESS estimator)."""
+    from bayesian_ode_tpu import samplers
+
+    state = kernel.init(pos0)
+    run = jax.jit(lambda s, k: samplers.sample_chain(
+        kernel, s, k, num_samples=num_samples, burn_in=burn_in))
+    jax.block_until_ready(run(state, jax.random.PRNGKey(0)))
     t0 = time.perf_counter()
-    (_, _, _), ls_hist = jax.block_until_ready(
-        run(U0, ls0, jax.random.PRNGKey(9)))
+    _, positions, _ = jax.block_until_ready(run(state, jax.random.PRNGKey(9)))
     dt = time.perf_counter() - t0
-    kept = jnp.moveaxis(ls_hist[burn_in:], 0, 1)       # (C, samples, 2)
+    kept = jnp.swapaxes(positions["logsn"], 0, 1)      # (C, samples, 2)
     ess0 = float(samplers.ess(kept[:, :, 0]))
     ess1 = float(samplers.ess(kept[:, :, 1]))
+    steps = num_samples + burn_in
     return (ess0 + ess1) / 2.0 / dt, C * steps / dt, dt, C
+
+
+def fused_sgld_effective_samples(data, static, params0, kr, n_chains,
+                                 num_samples, burn_in):
+    """SGLD with the fused rk4 forward+backward Pallas kernels
+    (ops/gp_rk4.py): measured 1.83M steps/s at 10,240 chains — 11.8x the
+    generic discrete-backprop path.  Keeps the reference's decaying
+    schedule (the algorithm under comparison); pSGLD/aSGHMC below use
+    bias-validated constant steps."""
+    from bayesian_ode_tpu import samplers
+    from bayesian_ode_tpu.samplers import schedules
+
+    pos0, pot, C = _fused_gp_setup(data, static, params0, n_chains)
+    kernel = samplers.sgld_batched(
+        pot, schedules.polynomial_decay(lr0=1e-5, gamma=0.55, t0=100))
+    return _time_kernel_ess(kernel, pos0, C, num_samples, burn_in)
 
 
 def fused_psgld_effective_samples(data, static, params0, kr, n_chains,
@@ -192,36 +202,10 @@ def fused_psgld_effective_samples(data, static, params0, kr, n_chains,
     schedule (lr0=5e-3, gamma=0.55) measures ~1.5x slower (2,865 ess/s)
     because the shrinking step stalls late-window decorrelation."""
     from bayesian_ode_tpu import samplers
-    from bayesian_ode_tpu.ops.gp_rk4 import make_fused_gp_potential
 
-    f32 = jnp.float32
-    C = ((n_chains + 127) // 128) * 128
-    static32 = static._replace(
-        Z=static.Z.astype(f32), KzzinvL=static.KzzinvL.astype(f32),
-        Kzzinv=static.Kzzinv.astype(f32),
-    )
-    pos0 = {
-        "U": params0["U"].astype(f32)[None] + 0.005 * jax.random.normal(
-            jax.random.PRNGKey(1), (C, 36, 2), f32),
-        "logsn": jnp.broadcast_to(params0["logsn"].astype(f32), (C, 2))
-        + 0.005 * jax.random.normal(jax.random.PRNGKey(2), (C, 2), f32),
-    }
-    pot = make_fused_gp_potential(static32, data["x0"].astype(f32),
-                                  data["t"].astype(f32),
-                                  data["Y"].astype(f32))
+    pos0, pot, C = _fused_gp_setup(data, static, params0, n_chains)
     kernel = samplers.psgld_batched(pot, 2e-3)
-    state = kernel.init(pos0)
-    run = jax.jit(lambda s, k: samplers.sample_chain(
-        kernel, s, k, num_samples=num_samples, burn_in=burn_in))
-    jax.block_until_ready(run(state, jax.random.PRNGKey(0)))
-    t0 = time.perf_counter()
-    _, positions, _ = jax.block_until_ready(run(state, jax.random.PRNGKey(9)))
-    dt = time.perf_counter() - t0
-    kept = jnp.swapaxes(positions["logsn"], 0, 1)      # (C, samples, 2)
-    ess0 = float(samplers.ess(kept[:, :, 0]))
-    ess1 = float(samplers.ess(kept[:, :, 1]))
-    steps = num_samples + burn_in
-    return (ess0 + ess1) / 2.0 / dt, C * steps / dt, dt, C
+    return _time_kernel_ess(kernel, pos0, C, num_samples, burn_in)
 
 
 def fused_asghmc_effective_samples(data, static, params0, kr, n_chains,
@@ -231,37 +215,11 @@ def fused_asghmc_effective_samples(data, static, params0, kr, n_chains,
     ops/gp_rk4): the momentum carries the chain across the posterior much
     faster than Langevin diffusion per gradient evaluation."""
     from bayesian_ode_tpu import samplers
-    from bayesian_ode_tpu.ops.gp_rk4 import make_fused_gp_potential
 
-    f32 = jnp.float32
-    C = ((n_chains + 127) // 128) * 128
-    static32 = static._replace(
-        Z=static.Z.astype(f32), KzzinvL=static.KzzinvL.astype(f32),
-        Kzzinv=static.Kzzinv.astype(f32),
-    )
-    pos0 = {
-        "U": params0["U"].astype(f32)[None] + 0.005 * jax.random.normal(
-            jax.random.PRNGKey(1), (C, 36, 2), f32),
-        "logsn": jnp.broadcast_to(params0["logsn"].astype(f32), (C, 2))
-        + 0.005 * jax.random.normal(jax.random.PRNGKey(2), (C, 2), f32),
-    }
-    pot = make_fused_gp_potential(static32, data["x0"].astype(f32),
-                                  data["t"].astype(f32),
-                                  data["Y"].astype(f32))
+    pos0, pot, C = _fused_gp_setup(data, static, params0, n_chains)
     kernel = samplers.asghmc_batched(pot, lr, burn_in_steps=burn_in,
                                      mom_decay=mom_decay)
-    state = kernel.init(pos0)
-    run = jax.jit(lambda s, k: samplers.sample_chain(
-        kernel, s, k, num_samples=num_samples, burn_in=burn_in))
-    jax.block_until_ready(run(state, jax.random.PRNGKey(0)))
-    t0 = time.perf_counter()
-    _, positions, _ = jax.block_until_ready(run(state, jax.random.PRNGKey(9)))
-    dt = time.perf_counter() - t0
-    kept = jnp.swapaxes(positions["logsn"], 0, 1)      # (C, samples, 2)
-    ess0 = float(samplers.ess(kept[:, :, 0]))
-    ess1 = float(samplers.ess(kept[:, :, 1]))
-    steps = num_samples + burn_in
-    return (ess0 + ess1) / 2.0 / dt, C * steps / dt, dt, C
+    return _time_kernel_ess(kernel, pos0, C, num_samples, burn_in)
 
 
 def sgld_effective_samples(data, static, params0, kr, n_chains, num_samples,

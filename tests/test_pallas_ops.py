@@ -130,6 +130,41 @@ def test_gp_dopri5_whole_matches_per_step():
                                atol=1e-7)
 
 
+def test_gp_dopri5_whole_budget_exhaustion_freezes_state():
+    # On max_steps exhaustion, un-reached output times must hold the
+    # chain's final state (not the zeros the output buffers start with),
+    # and reached_final_time must be False.
+    from bayesian_ode_tpu.models import kernel_regression as kr
+    from bayesian_ode_tpu.models import make_dataset
+    from bayesian_ode_tpu.ops.gp_dopri5 import gp_dopri5_solve_whole
+
+    data = make_dataset(jax.random.PRNGKey(2), "vdp", N=5, T=15, t_max=3.0,
+                        noise=0.05, x0_scale=1.5)
+    Z = kr.make_inducing_grid(data["Y"], M=6)
+    static = kr.make_static(Z, sf=1.0, ell=0.75)
+    p0 = kr.init_params(data["Y"], data["t"], static, noise=0.05)
+    A = (static.KzzinvL @ p0["U"]).astype(jnp.float32)[None] + \
+        0.01 * jax.random.normal(jax.random.PRNGKey(0), (128, 36, 2),
+                                 jnp.float32)
+    x0 = data["x0"].astype(jnp.float32)
+
+    ys, st = gp_dopri5_solve_whole(A, x0, data["t"], static, max_steps=10,
+                                   tile=128, interpret=True)
+    assert not bool(st["reached_final_time"])
+    # later output times are frozen at the final state: identical values,
+    # none of them the zero placeholder
+    tail = np.asarray(ys[-1])
+    assert np.all(np.abs(tail) > 0)
+    np.testing.assert_array_equal(np.asarray(ys[-2]), tail)
+
+    # VMEM guard: a dense output grid walks the tile down instead of
+    # blowing the output-block budget (2*N*TP*tile*4 <= 8 MiB)
+    t_dense = jnp.linspace(0.0, 3.0, 800)
+    ys2, st2 = gp_dopri5_solve_whole(A, x0, t_dense, static, tile=4096,
+                                     interpret=True)
+    assert ys2.shape[0] == 800 and bool(st2["reached_final_time"])
+
+
 def test_gp_rk4_fused_forward_and_gradients():
     # fused rk4 trajectory kernel + hand-written backward vs the generic
     # solver and jax autodiff (interpret mode).
