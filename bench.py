@@ -72,6 +72,25 @@ def chain_params(params0, n_chains, key):
     )
 
 
+def _sustained(launch, block, n=3, depth=8):
+    """Per-launch seconds at sustained throughput: enqueue `depth` async
+    launches, sync once, best of n repeats.
+
+    The axon tunnel charges ~20-30 ms per host<->device sync, which would
+    swamp a ~6 ms kernel measured launch-by-launch (a directly-attached
+    chip syncs in microseconds, and a deployment pipelines launches
+    anyway); measured 33 ms/launch synced vs 6.2 ms pipelined for the
+    identical program at 10k chains.  The CPU baseline is best-of-3 for
+    the same shared-host reason."""
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        outs = [launch() for _ in range(depth)]
+        block(outs)
+        best = min(best, (time.perf_counter() - t0) / depth)
+    return best
+
+
 def dopri5_forward_throughput(data, static, params0, kr, n_chains, rtol,
                               atol):
     """Total dopri5 RHS evals/sec across `n_chains` parallel solves."""
@@ -94,9 +113,7 @@ def dopri5_forward_throughput(data, static, params0, kr, n_chains, rtol,
     run = jax.jit(jax.vmap(solve_one))
 
     nfe, ok = jax.block_until_ready(run(Us))          # compile + warm
-    t0 = time.perf_counter()
-    nfe, ok = jax.block_until_ready(run(Us))
-    dt = time.perf_counter() - t0
+    dt = _sustained(lambda: run(Us), jax.block_until_ready)
     total_evals = float(jnp.sum(nfe))
     return total_evals / dt, dt, float(jnp.mean(nfe)), bool(jnp.all(ok))
 
@@ -118,10 +135,8 @@ def fused_dopri5_throughput(data, static, params0, kr, n_chains, rtol,
     run = jax.jit(lambda A_: gp_dopri5_solve_whole(A_, x0, data["t"],
                                                    static, rtol=rtol,
                                                    atol=atol))
-    ys, st = jax.block_until_ready(run(A))
-    t0 = time.perf_counter()
-    ys, st = jax.block_until_ready(run(A))
-    dt = time.perf_counter() - t0
+    ys, st = jax.block_until_ready(run(A))            # compile + warm
+    dt = _sustained(lambda: run(A), jax.block_until_ready)
     total_evals = float(jnp.sum(st["nfe"]))
     return (total_evals / dt, dt, float(jnp.mean(st["nfe"])),
             bool(st["reached_final_time"]), C)
