@@ -399,8 +399,9 @@ def gp_dopri5_solve_whole(A, x0, ts, static, rtol=1e-7, atol=1e-9,
     awkward C (e.g. 10,112 = 79 x 128) doesn't walk the tile down to 128
     and serialize the grid.  Unlike the per-step path, the (N*TP, tile)
     output blocks live in VMEM, so the tile is walked down (in 128-lane
-    multiples) until the two output blocks fit a ~8 MiB budget — dense
-    output grids trade grid-level parallelism, not compilability.
+    multiples) to keep the kernel's scoped VMEM inside the 16 MiB budget
+    (see the model at the walk-down below) — dense output grids trade
+    grid-level parallelism, not compilability.
     """
     C_in = A.shape[0]
     f32 = jnp.float32
@@ -413,7 +414,12 @@ def gp_dopri5_solve_whole(A, x0, ts, static, rtol=1e-7, atol=1e-9,
 
     tile = max(128, min(tile, ((C_in + 127) // 128) * 128))
     tile -= tile % 128                      # BlockSpec lane width contract
-    while tile > 128 and 2 * N * TP * tile * 4 > 8 * 1024 * 1024:
+    # VMEM walk-down: the kernel's scoped VMEM is ~(2.8 KB fixed + 2x
+    # double-buffered (N*TP, tile) output blocks) per lane against a
+    # 16 MiB budget — measured 7,876 B/lane at T=60, where tile=2048
+    # OOMs by 132 KB and tile=1024 fits with ~8 MiB headroom.  Dense
+    # output grids trade grid-level parallelism, not compilability.
+    while tile > 128 and tile * (3000 + 16 * N * TP) > 15 * 1024 * 1024:
         tile -= 128
     C = ((C_in + tile - 1) // tile) * tile
     if C != C_in:
