@@ -1,5 +1,6 @@
 """Device-mesh parallelism (chain data-parallel + particle-parallel SVGD)."""
 from .chains import (  # noqa: F401
+    gp_dopri5_solve_sharded,
     run_svgd_sharded,
     sample_chain_sharded_batched,
     sample_chains_sharded,
@@ -8,6 +9,7 @@ from .chains import (  # noqa: F401
 from .mesh import make_mesh, make_mesh_2d, replicated, shard_leading_axis  # noqa: F401
 
 __all__ = [
+    "gp_dopri5_solve_sharded",
     "make_mesh",
     "make_mesh_2d",
     "replicated",

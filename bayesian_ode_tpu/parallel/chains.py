@@ -86,6 +86,48 @@ def sample_chain_sharded_batched(kernel: TransitionKernel, position0, key,
     return run(position0, keys)
 
 
+def gp_dopri5_solve_sharded(A, x0, ts, static, mesh: Mesh,
+                            axis: str = "chain", interpret: bool = False,
+                            **solve_kwargs):
+    """Shard the fused whole-solve dopri5 kernel's chain axis over the
+    mesh (collective-free: each device integrates its local chain shard
+    with `ops.gp_dopri5.gp_dopri5_solve_whole`, so solves/s scales
+    linearly with devices at the measured single-chip rates).
+
+    A (C, M, 2) with C divisible by the mesh axis size (each shard is
+    padded to a tile multiple inside the kernel wrapper); x0/ts/static
+    are replicated.  Returns (ys (T, C, N, 2), stats) with per-chain
+    stats concatenated in mesh order and `reached_final_time` reduced
+    over devices.
+    """
+    from ..ops.gp_dopri5 import gp_dopri5_solve_whole
+
+    def local_solve(A_local):
+        ys, st = gp_dopri5_solve_whole(A_local, x0, ts, static,
+                                       interpret=interpret, **solve_kwargs)
+        # bool -> int so the all-reduce over devices is a concatenation-
+        # friendly per-shard leaf; reduced to a scalar below
+        st = dict(st, reached_final_time=st["reached_final_time"]
+                  .astype(jnp.int32)[None])
+        return ys, st
+
+    run = jax.jit(
+        jax.shard_map(
+            local_solve, mesh=mesh,
+            in_specs=(P(axis),),
+            out_specs=(P(None, axis),
+                       {"nfe": P(axis), "n_accepted": P(axis),
+                        "n_rejected": P(axis),
+                        "reached_final_time": P(axis)}),
+            check_vma=False,
+        )
+    )
+    A = jax.device_put(A, NamedSharding(mesh, P(axis)))
+    ys, st = run(A)
+    st["reached_final_time"] = jnp.all(st["reached_final_time"] > 0)
+    return ys, st
+
+
 def _local_svgd_phi(p_local, s_all, p_all, axis: str,
                     sigma: Optional[float]):
     """This device's rows of phi(X) from gathered positions/scores."""

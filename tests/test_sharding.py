@@ -185,3 +185,47 @@ def test_sample_chain_sharded_batched_psgld():
     assert positions.shape == (300, 32, 3)
     mean = np.asarray(positions).reshape(-1, 3).mean(0)
     assert np.abs(mean).max() < 0.3
+
+
+@needs_devices
+def test_gp_dopri5_solve_sharded_matches_single_device():
+    # the fused whole-solve forward kernel sharded over the chain mesh
+    # axis must reproduce the unsharded solve lane-for-lane (collective-
+    # free data parallelism; interpret mode on the CPU devices)
+    from bayesian_ode_tpu.models import kernel_regression as kr
+    from bayesian_ode_tpu.models import make_dataset
+    from bayesian_ode_tpu.ops.gp_dopri5 import gp_dopri5_solve_whole
+    from bayesian_ode_tpu.parallel import gp_dopri5_solve_sharded
+
+    data = make_dataset(jax.random.PRNGKey(2), "vdp", N=5, T=15, t_max=3.0,
+                        noise=0.05, x0_scale=1.5)
+    Z = kr.make_inducing_grid(data["Y"], M=6)
+    static = kr.make_static(Z, sf=1.0, ell=0.75)
+    p0 = kr.init_params(data["Y"], data["t"], static, noise=0.05)
+    C = 8 * 128
+    A = (static.KzzinvL @ p0["U"]).astype(jnp.float32)[None] + \
+        0.01 * jax.random.normal(jax.random.PRNGKey(0), (C, 36, 2),
+                                 jnp.float32)
+    x0 = data["x0"].astype(jnp.float32)
+    mesh = make_mesh(8, axis="chain")
+
+    ys_s, st_s = gp_dopri5_solve_sharded(A, x0, data["t"], static, mesh,
+                                         tile=128, interpret=True)
+    ys_1, st_1 = jax.jit(
+        lambda A_: gp_dopri5_solve_whole(A_, x0, data["t"], static,
+                                         tile=128, interpret=True)
+    )(A)
+    assert bool(st_s["reached_final_time"])
+    # The XLA prologue (initial-step heuristic) compiles differently
+    # under the shard_map partitioner than under plain jit, shifting dt0
+    # by ulps and hence a few accept/rejects on some lanes, so the CPU
+    # gate is solver-tolerance equivalence: NFE within a couple of steps
+    # on a minority of lanes, trajectories within the f32 global error.
+    # (On the real chip with a 1-device mesh the sharded path matched
+    # the jitted unsharded solve BITWISE — the sharding layer itself
+    # adds nothing; this is compilation-context sensitivity inherent to
+    # f32 adaptive stepping.)
+    dnfe = np.abs(np.asarray(st_s["nfe"]) - np.asarray(st_1["nfe"]))
+    assert dnfe.max() <= 18 and (dnfe > 0).mean() < 0.5
+    np.testing.assert_allclose(np.asarray(ys_s), np.asarray(ys_1),
+                               atol=5e-4)
