@@ -26,6 +26,7 @@ from .langevin import (  # noqa: F401
     asgld,
     csgld,
     mala,
+    mala_batched,
     mmala,
     psgld,
     sgld,
@@ -60,6 +61,7 @@ __all__ = [
     "identity_metric",
     "init_chains",
     "mala",
+    "mala_batched",
     "mmala",
     "psgld",
     "rbf_kernel",

@@ -148,6 +148,106 @@ def mala(potential_fn: Callable, step_size, add_noise: bool = True
     return TransitionKernel(init, step)
 
 
+def _tree_sum_squares_per_chain(tree):
+    """Per-chain sum of squares: reduce every leaf over all axes except
+    the leading chain axis, then add across leaves.  Returns (C,)."""
+    leaves = jax.tree.leaves(jax.tree.map(
+        lambda x: jnp.sum(x * x, axis=tuple(range(1, x.ndim))), tree
+    ))
+    return sum(leaves)
+
+
+def _tree_where_per_chain(accept, a, b):
+    """Leafwise where with a (C,) predicate broadcast over trailing axes."""
+    return jax.tree.map(
+        lambda x, y: jnp.where(
+            accept.reshape(accept.shape + (1,) * (x.ndim - 1)), x, y
+        ),
+        a, b,
+    )
+
+
+def mala_batched(potential_batch: Callable, step_size,
+                 precond: PyTree | None = None) -> TransitionKernel:
+    """MALA over an entire chain batch in one kernel step — EXACT sampling
+    (Metropolis-corrected, zero step-size bias) at the same cost per step
+    as `sgld_batched`: one fused forward+backward pass for the whole
+    batch, plus per-chain proposal-ratio reductions (cheap elementwise).
+
+    Takes the fused batch-potential contract of `sgld_batched`; use with
+    `sample_chain`.  Same proposal/acceptance formulas as the per-chain
+    `mala` above, vectorized per chain: each chain draws its own noise and
+    uniform and accepts independently via masks (SURVEY.md §7.4 PRNG
+    discipline).  Because the MH correction removes discretization bias,
+    the step size can be tuned for mixing alone (target ~0.5-0.7
+    acceptance) instead of being capped by a bias budget like
+    SGLD/pSGLD/aSGHMC.
+
+    `precond`: optional FIXED diagonal metric G (pytree matching the
+    position, leaves broadcastable) — proposal
+    `p' = p - lr*G*g - sqrt(2*lr*G)*xi` with the G-weighted MH ratio
+    `||.||^2 / (4*lr*G)`.  On badly conditioned posteriors (e.g. the GP
+    model's whitened-U directions) plain MALA's acceptance collapses at
+    any useful step; a warmup-estimated G (e.g. pSGLD's 1/(lambda+sqrt(V))
+    at the end of adaptation) restores it.  G fixed => the chain is still
+    reversible, so exactness is preserved."""
+    sched = schedules.resolve(step_size)
+    vag = _batch_value_and_grad(potential_batch)
+
+    def init(position):
+        u, g = vag(position)
+        return BatchLangevinState(position, u, g, jnp.asarray(0, jnp.int32))
+
+    def step(key, state):
+        lr = sched(state.step)
+        key_prop, key_mh = jax.random.split(key)
+        G = precond if precond is not None else jax.tree.map(
+            jnp.ones_like, state.position)
+
+        noise = tree_random_normal(key_prop, state.position)
+        proposal = jax.tree.map(
+            lambda p, g, G_, n: p - lr * G_ * g
+            - langevin_noise_scale(lr) * jnp.sqrt(G_) * n,
+            state.position, state.grad, G, noise,
+        )
+        u_new, g_new = vag(proposal)
+
+        log_alpha = state.potential - u_new                       # (C,)
+
+        def weighted_sq(tree):
+            return _tree_sum_squares_per_chain(jax.tree.map(
+                lambda x, G_: x / jnp.sqrt(jnp.broadcast_to(G_, x.shape)),
+                tree, G,
+            ))
+
+        rev = jax.tree.map(
+            lambda po, pn, G_, gn: po - pn + lr * G_ * gn,
+            state.position, proposal, G, g_new,
+        )
+        log_alpha += -1.0 / (4 * lr) * weighted_sq(rev)
+        fwd = jax.tree.map(
+            lambda pn, po, G_, go: pn - po + lr * G_ * go,
+            proposal, state.position, G, state.grad,
+        )
+        log_alpha -= -1.0 / (4 * lr) * weighted_sq(fwd)
+
+        C = log_alpha.shape[0]
+        accept = jnp.isfinite(log_alpha) & (
+            jnp.log(jax.random.uniform(key_mh, (C,))) < log_alpha
+        )
+        new_state = BatchLangevinState(
+            position=_tree_where_per_chain(accept, proposal, state.position),
+            potential=jnp.where(accept, u_new, state.potential),
+            grad=_tree_where_per_chain(accept, g_new, state.grad),
+            step=state.step + 1,
+        )
+        info = {"potential": new_state.potential, "accepted": accept,
+                "step_size": lr}
+        return new_state, info
+
+    return TransitionKernel(init, step)
+
+
 def psgld(potential_fn: Callable, step_size, alpha: float = 0.99,
           lambda_: float = 1e-5, add_noise: bool = True) -> TransitionKernel:
     """Preconditioned SGLD (Li et al. 2015).
