@@ -389,8 +389,10 @@ def main():
     # aSGHMC at lr=8e-3/c=0.05: the largest step whose STATIONARY moments
     # stay within ~0.9 sigma of the small-step limit (constant-lr pSGLD at
     # 1e-3/2e-3 and aSGHMC at 4e-3/6e-3 agree: logsn mean (-2.98,-2.79),
-    # std ~0.048; 12k-step runs at 2048 chains).  lr=1.2e-2 doubles ess/s
-    # again (6.5k) but shifts the logsn mean by 1-2 sigma — rejected.
+    # std ~0.048; 12k-step runs at 2048 chains; independently confirmed
+    # by EXACT preconditioned mala_batched at acc 0.48 over 24k steps).
+    # lr=1.2e-2 doubles ess/s again (6.5k) but shifts the mean 1-2 sigma
+    # — rejected.
     # Momentum decorrelates ~1.5x faster than pSGLD's preconditioner per
     # wall-second at the same fused step rate.
     h_eff, h_sps, h_dt, _ = _retry(
