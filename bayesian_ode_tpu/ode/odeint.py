@@ -30,7 +30,7 @@ from .tableaus import DOPRI5, TSIT5
 
 _ADAPTIVE_OPTION_KEYS = (
     "first_step", "safety", "ifactor", "dfactor", "max_num_steps", "mode",
-    "max_steps_per_interval", "compensated", "ulp_floor",
+    "max_steps_per_interval", "compensated", "ulp_floor", "controller",
 )
 
 

@@ -45,6 +45,8 @@ class AdaptiveState(NamedTuple):
     n_accepted: jax.Array
     n_rejected: jax.Array
     comp: PyTree = None
+    err_prev: jax.Array = None  # last ACCEPTED step's sqrt error ratio
+    #                             (PI controller memory; None under "i")
 
 
 def _cast(c, like):

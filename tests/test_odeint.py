@@ -188,6 +188,33 @@ def test_single_loop_emission_matches_scan_mode():
     assert bool(jnp.isfinite(run(y0s)).all())
 
 
+def test_pi_controller_option():
+    # options={"controller": "pi"}: Gustafsson PI step control — fewer
+    # rejected steps at the same tolerance, same accuracy envelope vs
+    # the reference-parity I controller (Van der Pol, f64, rtol=1e-7).
+    def vdp(t, y):
+        x, v = y[..., 0], y[..., 1]
+        return jnp.stack([v, (1 - x**2) * v - x], axis=-1)
+
+    y0 = jnp.asarray([2.0, 0.0], jnp.float64)
+    ts = jnp.linspace(0.0, 20.0, 41, dtype=jnp.float64)
+    ref, _ = odeint_with_stats(vdp, y0, ts, 1e-12, 1e-14, "dopri5")
+    yi, si = odeint_with_stats(vdp, y0, ts, 1e-7, 1e-9, "dopri5")
+    yp, sp = odeint_with_stats(vdp, y0, ts, 1e-7, 1e-9, "dopri5",
+                               options={"controller": "pi"})
+    assert bool(sp["reached_final_time"])
+    assert int(sp["n_rejected"]) < int(si["n_rejected"])
+    err_i = float(jnp.max(jnp.abs(yi - ref)))
+    err_p = float(jnp.max(jnp.abs(yp - ref)))
+    assert err_p < 3 * max(err_i, 1e-12)
+    # works under vmap (per-lane controller memory) and with tsit5
+    y0s = jnp.stack([y0, 0.5 * y0])
+    runs = jax.vmap(lambda y: odeint_with_stats(
+        vdp, y, ts, 1e-7, 1e-9, "tsit5",
+        options={"controller": "pi"})[0])(y0s)
+    assert bool(jnp.isfinite(runs).all())
+
+
 def test_compensated_carry_f32_long_integration():
     # Kahan-compensated state carry (options={"compensated": True}):
     # rounding no longer random-walks over long f32 solves.  160 periods

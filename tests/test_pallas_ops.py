@@ -130,6 +130,55 @@ def test_gp_dopri5_whole_matches_per_step():
                                atol=1e-7)
 
 
+def test_gp_dopri5_whole_pi_controller():
+    # controller="pi" must cut rejections and NFE while matching the
+    # generic PI integrator's trajectory; the "i" default stays the
+    # NFE-parity path (covered by the test above).
+    from bayesian_ode_tpu import odeint_with_stats
+    from bayesian_ode_tpu.models import kernel_regression as kr
+    from bayesian_ode_tpu.models import make_dataset
+    from bayesian_ode_tpu.models.kernel_regression import rbf
+    from bayesian_ode_tpu.ops.gp_dopri5 import gp_dopri5_solve_whole
+
+    data = make_dataset(jax.random.PRNGKey(2), "vdp", N=5, T=15, t_max=3.0,
+                        noise=0.05, x0_scale=1.5)
+    Z = kr.make_inducing_grid(data["Y"], M=6)
+    static = kr.make_static(Z, sf=1.0, ell=0.75)
+    p0 = kr.init_params(data["Y"], data["t"], static, noise=0.05)
+    C = 128
+    A = (static.KzzinvL @ p0["U"]).astype(jnp.float32)[None] + \
+        0.01 * jax.random.normal(jax.random.PRNGKey(0), (C, 36, 2),
+                                 jnp.float32)
+    x0 = data["x0"].astype(jnp.float32)
+
+    ys_i, st_i = gp_dopri5_solve_whole(A, x0, data["t"], static, tile=128,
+                                       interpret=True)
+    ys_pi, st_pi = gp_dopri5_solve_whole(A, x0, data["t"], static, tile=128,
+                                         controller="pi", interpret=True)
+    assert bool(st_pi["reached_final_time"])
+    assert int(jnp.sum(st_pi["n_rejected"])) < int(jnp.sum(st_i["n_rejected"]))
+    # NFE direction is horizon-dependent (PI damps step growth: fewer
+    # rejects but sometimes more accepted steps on short horizons);
+    # it must stay within a few % either way
+    assert int(jnp.sum(st_pi["nfe"])) < 1.05 * int(jnp.sum(st_i["nfe"]))
+    # same solution within solver tolerance propagation
+    np.testing.assert_allclose(np.asarray(ys_pi), np.asarray(ys_i),
+                               atol=5e-4)
+
+    # cross-check against the generic integrator's PI controller on one
+    # chain: same controller semantics end to end
+    def vf(t, y):
+        K = rbf(y[None], static.Z.astype(jnp.float32), static.sf,
+                static.ell, precision=jax.lax.Precision.HIGHEST)
+        return jnp.einsum("cnm,cmd->cnd", K, A[:1],
+                          precision=jax.lax.Precision.HIGHEST)[0]
+
+    ysg, stg = odeint_with_stats(vf, x0, data["t"], rtol=1e-7, atol=1e-9,
+                                 method="dopri5",
+                                 options={"controller": "pi"})
+    assert float(jnp.max(jnp.abs(ysg - ys_pi[:, 0]))) < 2e-3
+
+
 def test_gp_dopri5_whole_budget_exhaustion_freezes_state():
     # On max_steps exhaustion, un-reached output times must hold the
     # chain's final state (not the zeros the output buffers start with),
