@@ -8,6 +8,7 @@ via `sample_chain`/`sample_chains` and shard over device meshes.
 from .base import (
     TransitionKernel,
     guard_finite,
+    guard_finite_batched,
     init_chains,
     sample_chain,
     sample_chains,
@@ -54,6 +55,7 @@ __all__ = [
     "csgld",
     "ess",
     "guard_finite",
+    "guard_finite_batched",
     "ess_per_param",
     "flat_hessian",
     "hamcmc",

@@ -173,3 +173,53 @@ def guard_finite(kernel: TransitionKernel) -> TransitionKernel:
         return out_state, info
 
     return TransitionKernel(init, step)
+
+
+def guard_finite_batched(kernel: TransitionKernel) -> TransitionKernel:
+    """Per-chain `guard_finite` for BATCHED kernels (fused batch-potential
+    contract: one state whose float leaves carry a leading chain axis C).
+
+    `guard_finite` reduces finiteness over the whole state, which is
+    correct per vmap lane for per-chain kernels but would freeze ALL C
+    chains of a batched kernel the moment one diverges.  Here each chain
+    is masked independently: a chain's new state commits only if every
+    one of ITS float entries is finite (float leaves without the leading
+    chain axis — none in the shipped batched states — gate globally).
+    `info["finite"]` is the (C,) per-chain mask.
+    """
+
+    def init(position):
+        return kernel.init(position)
+
+    def step(key, state):
+        new_state, info = kernel.step(key, state)
+        float_leaves = [l for l in jax.tree.leaves(new_state)
+                        if jnp.issubdtype(l.dtype, jnp.floating)]
+        C = float_leaves[0].shape[0] if float_leaves else 0
+
+        def leaf_finite(leaf):
+            if leaf.ndim >= 1 and leaf.shape[0] == C:
+                return jnp.all(
+                    jnp.isfinite(leaf).reshape(C, -1), axis=1
+                )                                            # (C,)
+            return jnp.broadcast_to(jnp.all(jnp.isfinite(leaf)), (C,))
+
+        finite = jnp.ones((C,), bool)
+        for leaf in float_leaves:
+            finite = finite & leaf_finite(leaf)
+
+        def commit(new, old):
+            if (jnp.issubdtype(new.dtype, jnp.floating)
+                    and new.ndim >= 1 and new.shape[0] == C):
+                mask = finite.reshape((C,) + (1,) * (new.ndim - 1))
+                return jnp.where(mask, new, old)
+            if jnp.issubdtype(new.dtype, jnp.floating):
+                return jnp.where(jnp.all(finite), new, old)
+            return new                                  # step counters etc.
+
+        out_state = jax.tree.map(commit, new_state, state)
+        info = dict(info)
+        info["finite"] = finite
+        return out_state, info
+
+    return TransitionKernel(init, step)

@@ -358,6 +358,43 @@ def test_hamcmc_metropolis_correction():
     check_moments(positions, mean_tol=0.25, cov_tol=0.4)
 
 
+def test_guard_finite_batched_freezes_only_divergent_chains():
+    # batched kernels hold ALL chains in one state; the per-chain guard
+    # must freeze exactly the divergent chains while the rest keep
+    # sampling (plain guard_finite would freeze the whole batch).
+    C = 8
+
+    def pot_batch(p):                               # (C, 1) -> (C,)
+        # confining near the origin, NaN far out: healthy chains sample
+        # the Gaussian and never reach the bad region
+        return jnp.sum(
+            jnp.where(jnp.abs(p) > 100.0, jnp.nan, 0.5 * p * p), axis=-1
+        )
+
+    kernel = samplers.guard_finite_batched(samplers.sgld_batched(pot_batch,
+                                                                 0.05))
+    # chains 0 and 3 start inside the NaN region; the rest at 0
+    x0 = jnp.zeros((C, 1)).at[0, 0].set(1e3).at[3, 0].set(1e3)
+    _, positions, infos = samplers.sample_chain(
+        kernel, kernel.init(x0), jax.random.PRNGKey(0), num_samples=20
+    )
+    pos = np.asarray(positions)                     # (20, C, 1)
+    fin = np.asarray(infos["finite"])               # (20, C)
+    assert fin.shape == (20, C)
+    assert np.isfinite(pos).all()
+    assert not fin[:, 0].all() and not fin[:, 3].all()
+    healthy = [c for c in range(C) if c not in (0, 3)]
+    assert fin[:, healthy].all()
+    # healthy chains keep moving (Langevin noise changes every step)
+    assert (np.abs(np.diff(pos[:, healthy, 0], axis=0)) > 0).all()
+    # divergent chains freeze at their last finite state
+    for c in (0, 3):
+        first_bad = int(np.argmin(fin[:, c]))
+        assert np.array_equal(
+            pos[first_bad:, c], np.broadcast_to(pos[first_bad, c],
+                                                pos[first_bad:, c].shape))
+
+
 def test_guard_finite_freezes_divergent_chain():
     # TPU-native replacement for the reference's raise-on-NaN sanitizer
     # (langevin.py:184-192): a non-finite step is rejected (retried with
