@@ -162,6 +162,11 @@ def adaptive_step(func: Callable, state: AdaptiveState, tableau: ButcherTableau,
     f_next = tree_where(accept, f1, f0)
     t_next = jnp.where(accept, t0 + dt, t0)
     coeff_next = tree_where(accept, fit(tableau, y0, y1, k, dt), coeff)
+    if cfg.controller not in ("i", "pi"):
+        raise ValueError(
+            f"unknown step controller {cfg.controller!r}; expected 'i' "
+            "(reference parity) or 'pi' (Gustafsson)"
+        )
     if cfg.controller == "pi":
         dt_next = pi_step_size(
             dt, ratio, state.err_prev, accept, cfg.safety, cfg.ifactor,

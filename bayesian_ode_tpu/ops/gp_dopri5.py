@@ -440,6 +440,11 @@ def gp_dopri5_solve_whole(A, x0, ts, static, rtol=1e-7, atol=1e-9,
     (see the model at the walk-down below) — dense output grids trade
     grid-level parallelism, not compilability.
     """
+    if controller not in ("i", "pi"):
+        raise ValueError(
+            f"unknown step controller {controller!r}; expected 'i' "
+            "(reference parity) or 'pi' (Gustafsson)"
+        )
     C_in = A.shape[0]
     f32 = jnp.float32
     ts = ts.astype(f32)

@@ -86,6 +86,52 @@ def sample_chain_sharded_batched(kernel: TransitionKernel, position0, key,
     return run(position0, keys)
 
 
+_SHARDED_SOLVE_CACHE: dict = {}
+
+
+def _sharded_solve_fn(mesh: Mesh, axis: str, interpret: bool, static,
+                      kwargs_items: tuple):
+    """Build (or fetch) the jitted shard_map for one (mesh, config,
+    static) combination.  `static` and the solve kwargs are baked into
+    the traced program (the kernel needs them as Python constants), so
+    the cache is keyed on the static object's identity — rebuilding an
+    identical `static` per call forfeits the cache but stays correct.
+    A/x0/ts remain traced arguments, so new values hit the jit cache."""
+    from ..ops.gp_dopri5 import gp_dopri5_solve_whole
+
+    key = (mesh, axis, interpret, id(static), kwargs_items)
+    fn = _SHARDED_SOLVE_CACHE.get(key)
+    if fn is not None:
+        return fn[0]
+    solve_kwargs = dict(kwargs_items)
+
+    def local_solve(A_local, x0, ts):
+        ys, st = gp_dopri5_solve_whole(A_local, x0, ts, static,
+                                       interpret=interpret, **solve_kwargs)
+        # bool -> int so every stats leaf is a concatenation-friendly
+        # per-shard array; reduced to a scalar by the caller
+        st = dict(st, reached_final_time=st["reached_final_time"]
+                  .astype(jnp.int32)[None])
+        return ys, st
+
+    fn = jax.jit(
+        jax.shard_map(
+            local_solve, mesh=mesh,
+            in_specs=(P(axis), P(), P()),
+            out_specs=(P(None, axis),
+                       {"nfe": P(axis), "n_accepted": P(axis),
+                        "n_rejected": P(axis),
+                        "reached_final_time": P(axis)}),
+            check_vma=False,
+        )
+    )
+    if len(_SHARDED_SOLVE_CACHE) > 32:
+        _SHARDED_SOLVE_CACHE.clear()
+    # keep a strong ref to `static` so its id() stays valid for the key
+    _SHARDED_SOLVE_CACHE[key] = (fn, static)
+    return fn
+
+
 def gp_dopri5_solve_sharded(A, x0, ts, static, mesh: Mesh,
                             axis: str = "chain", interpret: bool = False,
                             **solve_kwargs):
@@ -98,32 +144,13 @@ def gp_dopri5_solve_sharded(A, x0, ts, static, mesh: Mesh,
     padded to a tile multiple inside the kernel wrapper); x0/ts/static
     are replicated.  Returns (ys (T, C, N, 2), stats) with per-chain
     stats concatenated in mesh order and `reached_final_time` reduced
-    over devices.
+    over devices.  The jitted shard_map is cached per (mesh, config,
+    static) — repeat calls with new A/x0/ts values are jit-cache hits.
     """
-    from ..ops.gp_dopri5 import gp_dopri5_solve_whole
-
-    def local_solve(A_local):
-        ys, st = gp_dopri5_solve_whole(A_local, x0, ts, static,
-                                       interpret=interpret, **solve_kwargs)
-        # bool -> int so the all-reduce over devices is a concatenation-
-        # friendly per-shard leaf; reduced to a scalar below
-        st = dict(st, reached_final_time=st["reached_final_time"]
-                  .astype(jnp.int32)[None])
-        return ys, st
-
-    run = jax.jit(
-        jax.shard_map(
-            local_solve, mesh=mesh,
-            in_specs=(P(axis),),
-            out_specs=(P(None, axis),
-                       {"nfe": P(axis), "n_accepted": P(axis),
-                        "n_rejected": P(axis),
-                        "reached_final_time": P(axis)}),
-            check_vma=False,
-        )
-    )
+    run = _sharded_solve_fn(mesh, axis, interpret, static,
+                            tuple(sorted(solve_kwargs.items())))
     A = jax.device_put(A, NamedSharding(mesh, P(axis)))
-    ys, st = run(A)
+    ys, st = run(A, x0, ts)
     st["reached_final_time"] = jnp.all(st["reached_final_time"] > 0)
     return ys, st
 

@@ -195,7 +195,10 @@ def guard_finite_batched(kernel: TransitionKernel) -> TransitionKernel:
         new_state, info = kernel.step(key, state)
         float_leaves = [l for l in jax.tree.leaves(new_state)
                         if jnp.issubdtype(l.dtype, jnp.floating)]
-        C = float_leaves[0].shape[0] if float_leaves else 0
+        # chain count from the first leaf that HAS a leading axis
+        # (scalar float leaves, e.g. an adapted temperature, gate
+        # globally and must not drive the inference)
+        C = next((l.shape[0] for l in float_leaves if l.ndim >= 1), 1)
 
         def leaf_finite(leaf):
             if leaf.ndim >= 1 and leaf.shape[0] == C:

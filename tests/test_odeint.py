@@ -213,6 +213,10 @@ def test_pi_controller_option():
         vdp, y, ts, 1e-7, 1e-9, "tsit5",
         options={"controller": "pi"})[0])(y0s)
     assert bool(jnp.isfinite(runs).all())
+    # unknown controller values raise instead of silently running "i"
+    with pytest.raises(ValueError, match="unknown step controller"):
+        odeint_with_stats(vdp, y0, ts, 1e-7, 1e-9, "dopri5",
+                          options={"controller": "PI"})
 
 
 def test_compensated_carry_f32_long_integration():

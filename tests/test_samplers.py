@@ -395,6 +395,31 @@ def test_guard_finite_batched_freezes_only_divergent_chains():
                                                 pos[first_bad:, c].shape))
 
 
+def test_guard_finite_batched_scalar_leaf():
+    # a kernel whose state lists a 0-dim float field FIRST must not crash
+    # the chain-count inference; the scalar gates globally
+    from typing import NamedTuple
+
+    class S(NamedTuple):
+        temp: jnp.ndarray      # ()  float
+        pos: jnp.ndarray       # (C, 1)
+
+    def init(position):
+        return S(jnp.asarray(1.0), position)
+
+    def step(key, state):
+        pos = state.pos + jax.random.normal(key, state.pos.shape)
+        return S(state.temp, pos), {"potential": jnp.zeros(pos.shape[0]),
+                                    "accepted": jnp.asarray(True),
+                                    "step_size": 0.1}
+
+    kernel = samplers.guard_finite_batched(
+        samplers.TransitionKernel(init, step))
+    st, info = kernel.step(jax.random.PRNGKey(0),
+                           kernel.init(jnp.zeros((4, 1))))
+    assert info["finite"].shape == (4,) and bool(info["finite"].all())
+
+
 def test_guard_finite_freezes_divergent_chain():
     # TPU-native replacement for the reference's raise-on-NaN sanitizer
     # (langevin.py:184-192): a non-finite step is rejected (retried with
