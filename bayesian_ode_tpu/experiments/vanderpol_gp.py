@@ -137,7 +137,7 @@ def run_sampler(config: Dict, data: Dict, output: str,
                 make_plots: bool = True) -> Dict[str, Any]:
     """Posterior sampling (gp.py:290-507) over vmapped chains.
 
-    config["engine"] == "fused" runs SGLD/pSGLD/aSGHMC through the fused Pallas
+    config["engine"] == "fused" runs SGLD/pSGLD/aSGHMC/MALA through the fused Pallas
     trajectory kernels (ops/gp_rk4.py for the GP field, ops/mlp_rk4.py for
     model="nn"; ~12x faster on TPU); chain counts are rounded up to a
     multiple of 128 there.
@@ -150,7 +150,7 @@ def run_sampler(config: Dict, data: Dict, output: str,
     n_chains = config.get("num_chains", 64)
 
     if config.get("engine") == "fused" and config["method"] in (
-            "SGLD", "pSGLD", "aSGHMC"):
+            "SGLD", "pSGLD", "aSGHMC", "MALA"):
         f32 = jnp.float32
         n_chains = ((n_chains + 127) // 128) * 128
         if config.get("model", "gp") == "nn":
@@ -180,6 +180,8 @@ def run_sampler(config: Dict, data: Dict, output: str,
                 pot_batch, config["lr"], burn_in_steps=config["burn_in"],
                 mom_decay=config.get("mom_decay", 5e-2),
                 lambda_=config["lambda_"])
+        elif config["method"] == "MALA":
+            kernel = samplers.mala_batched(pot_batch, config["lr"])
         else:
             kernel = samplers.sgld_batched(pot_batch, _poly_sched(config))
         jitter = config.get("jitter", 0.005)
@@ -203,10 +205,14 @@ def run_sampler(config: Dict, data: Dict, output: str,
         )
         # (samples, C, ...) -> (C, samples, ...) to match the vmapped layout
         positions = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), positions)
+        accepted = infos["accepted"]
+        if accepted.ndim == 2:          # per-chain masks (MALA): (T, C)
+            accepted = jnp.swapaxes(accepted, 0, 1)
+        else:                           # scalar-per-step kernels
+            accepted = jnp.broadcast_to(accepted[None],
+                                        (n_chains,) + accepted.shape)
         infos = {"potential": jnp.swapaxes(infos["potential"], 0, 1),
-                 "accepted": jnp.broadcast_to(
-                     infos["accepted"][None],
-                     (n_chains,) + infos["accepted"].shape),
+                 "accepted": accepted,
                  "step_size": infos["step_size"]}
     elif config["method"] == "SVGD":
         # BASELINE config #5: SVGD over a particle ensemble on the GP

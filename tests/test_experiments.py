@@ -131,6 +131,24 @@ def test_run_sampler_fused_engine_asghmc(tmp_path, tiny_data):
     assert summary["num_chains"] == 128
 
 
+def test_run_sampler_fused_engine_mala(tmp_path, tiny_data):
+    # exact MALA through the fused engine: per-chain accept masks
+    cfg = tiny_config("MALA", engine="fused", num_chains=128, lr=1e-6,
+                      burn_in=2, num_samples=4)
+    summary = run_sampler(cfg, tiny_data, str(tmp_path), make_plots=False)
+    assert np.isfinite(summary["min_potential"])
+    assert 0.0 <= summary["acceptance"] <= 1.0
+
+
+def test_run_sampler_nn_fused_engine_asghmc(tmp_path, tiny_data):
+    # the batched kernels compose with the MLP fused potential too
+    cfg = tiny_config("aSGHMC", model="nn", hidden=8, lr=1e-5,
+                      engine="fused", num_chains=128, burn_in=2,
+                      num_samples=4)
+    summary = run_sampler(cfg, tiny_data, str(tmp_path), make_plots=False)
+    assert np.isfinite(summary["min_potential"])
+
+
 def test_run_optim_plots(tmp_path, tiny_data):
     cfg = tiny_config("Adam", inf_type="optim", lr=1e-3)
     run_optim(cfg, tiny_data, str(tmp_path), make_plots=True)
