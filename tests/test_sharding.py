@@ -229,3 +229,28 @@ def test_gp_dopri5_solve_sharded_matches_single_device():
     assert dnfe.max() <= 18 and (dnfe > 0).mean() < 0.5
     np.testing.assert_allclose(np.asarray(ys_s), np.asarray(ys_1),
                                atol=5e-4)
+
+
+@needs_devices
+def test_sample_chain_sharded_batched_mala_asghmc():
+    # the newest batched kernels run under shard_map too: per-chain
+    # accept masks (MALA) and elementwise momentum adaptation (aSGHMC)
+    # are device-local
+    from bayesian_ode_tpu.parallel import sample_chain_sharded_batched
+
+    mesh = make_mesh(8, axis="chain")
+
+    def pot_batch(p):
+        return 0.5 * jnp.sum(p ** 2, axis=-1)
+
+    pos0 = jax.random.normal(jax.random.PRNGKey(6), (32, 3)) + 2.0
+    for kernel in [samplers.mala_batched(pot_batch, 0.1),
+                   samplers.asghmc_batched(pot_batch, 0.1,
+                                           burn_in_steps=100)]:
+        positions, pots = sample_chain_sharded_batched(
+            kernel, pos0, jax.random.PRNGKey(7), num_samples=300,
+            mesh=mesh, burn_in=300,
+        )
+        assert positions.shape == (300, 32, 3)
+        mean = np.asarray(positions).reshape(-1, 3).mean(0)
+        assert np.abs(mean).max() < 0.4, mean
