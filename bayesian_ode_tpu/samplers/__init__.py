@@ -20,6 +20,8 @@ from .hamiltonian import (  # noqa: F401
     acsghmc_batched,
     asghmc,
     asghmc_batched,
+    baoab,
+    baoab_batched,
     sgrhmc,
 )
 from .langevin import (  # noqa: F401
@@ -52,6 +54,8 @@ __all__ = [
     "asghmc",
     "asghmc_batched",
     "asgld",
+    "baoab",
+    "baoab_batched",
     "csgld",
     "ess",
     "guard_finite",
