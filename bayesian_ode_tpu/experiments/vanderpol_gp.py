@@ -110,6 +110,11 @@ def make_sampler(config: Dict, potential: Callable):
                                 burn_in_steps=config["burn_in"],
                                 mom_decay=config.get("mom_decay", 5e-2),
                                 lambda_=config["lambda_"])
+    if method == "BAOAB":
+        return samplers.baoab(potential, config["lr"],
+                              friction=config.get("friction", 1.0),
+                              burn_in_steps=config["burn_in"],
+                              lambda_=config["lambda_"])
     if method == "SGRHMC":
         return samplers.sgrhmc(potential, _poly_sched(config),
                                friction=config.get("friction", 0.1),
@@ -150,7 +155,7 @@ def run_sampler(config: Dict, data: Dict, output: str,
     n_chains = config.get("num_chains", 64)
 
     if config.get("engine") == "fused" and config["method"] in (
-            "SGLD", "pSGLD", "aSGHMC", "MALA"):
+            "SGLD", "pSGLD", "aSGHMC", "MALA", "BAOAB"):
         f32 = jnp.float32
         n_chains = ((n_chains + 127) // 128) * 128
         if config.get("model", "gp") == "nn":
@@ -182,6 +187,12 @@ def run_sampler(config: Dict, data: Dict, output: str,
                 lambda_=config["lambda_"])
         elif config["method"] == "MALA":
             kernel = samplers.mala_batched(pot_batch, config["lr"])
+        elif config["method"] == "BAOAB":
+            kernel = samplers.baoab_batched(
+                pot_batch, config["lr"],
+                friction=config.get("friction", 1.0),
+                burn_in_steps=config["burn_in"],
+                lambda_=config["lambda_"])
         else:
             kernel = samplers.sgld_batched(pot_batch, _poly_sched(config))
         jitter = config.get("jitter", 0.005)

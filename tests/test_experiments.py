@@ -51,7 +51,8 @@ def test_expand_grid_and_config_io(tmp_path):
     assert blob["configs"][0]["id"] == 2
 
 
-@pytest.mark.parametrize("method", ["SGLD", "pSGLD", "MALA", "aSGHMC"])
+@pytest.mark.parametrize("method", ["SGLD", "pSGLD", "MALA", "aSGHMC",
+                                    "BAOAB"])
 def test_run_sampler_methods(tmp_path, tiny_data, method):
     cfg = tiny_config(method)
     summary = run_sampler(cfg, tiny_data, str(tmp_path), make_plots=False)
