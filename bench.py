@@ -123,8 +123,9 @@ def fused_dopri5_throughput(data, static, params0, kr, n_chains, rtol,
     """The fused whole-solve Pallas kernel (ops/gp_dopri5.py): the entire
     adaptive integration runs inside one kernel per chain tile, with
     in-loop dense-output emission — no lockstep barrier at output
-    intervals (measured 791k solves/s at 10,240 chains vs 587k for the
-    per-step fused kernel and ~116k generic)."""
+    intervals (measured sustained: 1.34M solves/s at 10,240 chains vs
+    ~174k generic; the per-step fused kernel's lockstep barrier made it
+    ~26% slower than whole-solve even before pipelined timing)."""
     from bayesian_ode_tpu.ops.gp_dopri5 import gp_dopri5_solve_whole
 
     C = ((n_chains + 127) // 128) * 128
@@ -355,10 +356,9 @@ def main():
         f"NFE {f_nfe:.0f}, reached={f_ok}", file=sys.stderr,
     )
 
-    # peak throughput: the fused kernel is latency-bound below ~20k chains
-    # and keeps scaling past the north-star 10k shape (measured 1.60M
-    # solves/s at 163,840 chains with the whole-solve kernel, 0.62us per
-    # adaptive rtol=1e-7 solve)
+    # peak throughput: the whole-solve kernel keeps scaling past the
+    # north-star 10k shape (measured sustained 2.18M solves/s at 163,840
+    # chains, 0.46us per adaptive rtol=1e-7 solve, vs 1.34M at 10k)
     peak_sps, peak_chains = 0.0, 0
     if not args.quick:
         try:
