@@ -40,6 +40,18 @@ def main():
         "aSGHMC", {"M": [6], "lr": [1e-3, 1e-2]},
         defaults={"burn_in": 1000, "num_samples": 2000, "thinning": 50},
     )
+    # fused-engine configs: the bias-validated bench operating points
+    # (CLAUDE.md protocol) on the Pallas trajectory kernels
+    configs += expand_grid(
+        "pSGLD", {"M": [6], "lr0": [2e-3]},
+        defaults={"burn_in": 1000, "num_samples": 2000, "thinning": 50,
+                  "engine": "fused", "num_chains": 1024, "lr_gamma": 0.0},
+    )
+    configs += expand_grid(
+        "aSGHMC", {"M": [6], "lr": [8e-3]},
+        defaults={"burn_in": 1000, "num_samples": 2000, "thinning": 50,
+                  "engine": "fused", "num_chains": 1024},
+    )
     configs += expand_grid(
         "Adadelta", {"M": [6], "lr": [1e-1, 1.0]}, inf_type="optim",
         defaults={"num_iters": 2000},
