@@ -3,10 +3,16 @@
 - pallas_rbf: tiled SVGD phi (streamed n x n RBF kernel matrix)
 - gp_dopri5: fused adaptive dopri5 for the GP vector field (per-step
   kernel + the faster whole-solve kernel with in-kernel while loop)
+- gp_dopri5_grad: differentiable whole-solve dopri5 (records the accepted
+  step mesh in-kernel; hand-written discrete-adjoint backward kernel)
 - gp_rk4: fused rk4 trajectory + hand-written backward (custom VJP)
 - mlp_rk4: the same for the MLP (neural-network) vector field
 """
 from .gp_dopri5 import gp_dopri5_solve, gp_dopri5_solve_whole  # noqa: F401
+from .gp_dopri5_grad import (  # noqa: F401
+    gp_dopri5_trajectory,
+    make_fused_gp_potential_dopri5,
+)
 from .gp_rk4 import gp_rk4_trajectory, make_fused_gp_potential  # noqa: F401
 from .mlp_rk4 import make_fused_mlp_potential, mlp_rk4_trajectory  # noqa: F401
 from .pallas_rbf import svgd_phi_pallas, svgd_phi_reference  # noqa: F401
@@ -14,8 +20,10 @@ from .pallas_rbf import svgd_phi_pallas, svgd_phi_reference  # noqa: F401
 __all__ = [
     "gp_dopri5_solve",
     "gp_dopri5_solve_whole",
+    "gp_dopri5_trajectory",
     "gp_rk4_trajectory",
     "make_fused_gp_potential",
+    "make_fused_gp_potential_dopri5",
     "make_fused_mlp_potential",
     "mlp_rk4_trajectory",
     "svgd_phi_pallas",

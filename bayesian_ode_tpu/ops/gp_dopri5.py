@@ -322,11 +322,14 @@ def _make_whole_kernel(sf: float, ell: float, rtol: float, atol: float,
 
         def cond(carry):
             (px, py, fx, fy, t1, dt, ep, nfe, nacc, nrej) = carry
-            return jnp.any(t1 < tf) & (jnp.max(nacc + nrej) < max_steps)
+            # budget is PER-CHAIN: a runaway lane exhausting max_steps
+            # freezes only itself (it leaves the active set); the rest of
+            # the tile keeps integrating
+            return jnp.any((t1 < tf) & (nacc + nrej < max_steps))
 
         def body(carry):
             (px, py, fx, fy, t1, dt, ep, nfe, nacc, nrej) = carry
-            active = t1 < tf                               # (1, C)
+            active = (t1 < tf) & (nacc + nrej < max_steps)  # (1, C)
 
             kx, ky, y1x, y1y, f1x, f1y = _rk_stages(rhs, px, py, fx, fy, dt)
             accept, ratio, dt_next, ep_next = _step_decision(
