@@ -42,7 +42,12 @@ from .metrics import (  # noqa: F401
     identity_metric,
     softabs_metric,
 )
-from .stein import rbf_kernel, svgd, svgd_direction  # noqa: F401
+from .stein import (  # noqa: F401
+    rbf_kernel,
+    svgd,
+    svgd_batched,
+    svgd_direction,
+)
 from . import schedules  # noqa: F401
 
 __all__ = [
@@ -81,5 +86,6 @@ __all__ = [
     "softabs_metric",
     "split_rhat",
     "svgd",
+    "svgd_batched",
     "svgd_direction",
 ]

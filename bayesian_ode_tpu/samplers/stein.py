@@ -106,34 +106,84 @@ def svgd(potential_fn: Callable, step_size, sigma: Optional[float] = None,
         unravel_ref[0] = ravel_pytree(jax.tree.map(lambda x: x[0], position))[1]
         return SVGDState(flat, jnp.asarray(0, jnp.int32))
 
-    def _use_pallas(n):
-        if use_pallas == "always":
-            return True
-        if use_pallas == "never":
-            return False
-        return n >= 4096 and jax.default_backend() not in ("cpu",)
-
     def step(key, state):
         lr = sched(state.step)
         unravel = unravel_ref[0]
         grad_fn = jax.grad(lambda v: potential_fn(unravel(v)))
         scores = -jax.vmap(grad_fn)(state.particles)
-        n = state.particles.shape[0]
-        if _use_pallas(n):
-            from ..ops.pallas_rbf import svgd_phi_pallas
-
-            if sigma is None:
-                sub = state.particles[: min(median_subsample, n)]
-                d2 = pairwise_sq_dists(sub, sub)
-                h = jnp.median(d2) / (2.0 * jnp.log(n + 1.0))
-                gamma = 1.0 / (1e-8 + 2.0 * h)
-            else:
-                gamma = 1.0 / (1e-8 + 2.0 * jnp.asarray(sigma) ** 2)
-            phi = svgd_phi_pallas(state.particles, scores, gamma)
-        else:
-            phi = svgd_direction(state.particles, scores, sigma)
+        phi = _phi_dispatch(state.particles, scores, sigma, use_pallas,
+                            median_subsample)
         new_particles = state.particles + lr * phi
         pots = jax.vmap(lambda v: potential_fn(unravel(v)))(new_particles)
+        info = {"potential": jnp.mean(pots), "accepted": jnp.asarray(True),
+                "step_size": lr}
+        return SVGDState(new_particles, state.step + 1), info
+
+    return TransitionKernel(init, step)
+
+
+def _phi_dispatch(particles, scores, sigma, use_pallas, median_subsample):
+    """phi(X) routed to the tiled Pallas kernel for large TPU ensembles
+    (>= 4096 particles on 'auto'; ops/pallas_rbf.py streams the n x n
+    kernel matrix through VMEM tiles), else the matmul formulation."""
+    n = particles.shape[0]
+    if use_pallas == "always":
+        pallas = True
+    elif use_pallas == "never":
+        pallas = False
+    else:
+        pallas = n >= 4096 and jax.default_backend() not in ("cpu",)
+    if not pallas:
+        return svgd_direction(particles, scores, sigma)
+    from ..ops.pallas_rbf import svgd_phi_pallas
+
+    if sigma is None:
+        sub = particles[: min(median_subsample, n)]
+        d2 = pairwise_sq_dists(sub, sub)
+        h = jnp.median(d2) / (2.0 * jnp.log(n + 1.0))
+        gamma = 1.0 / (1e-8 + 2.0 * h)
+    else:
+        gamma = 1.0 / (1e-8 + 2.0 * jnp.asarray(sigma) ** 2)
+    return svgd_phi_pallas(particles, scores, gamma)
+
+
+def svgd_batched(potential_batch: Callable, step_size,
+                 sigma: Optional[float] = None, use_pallas: str = "auto",
+                 median_subsample: int = 2048) -> TransitionKernel:
+    """SVGD whose scores come from a BATCHED potential — leaves carry a
+    leading particle axis (n, ...) and the potential returns (n,) — so the
+    whole ensemble's score pass is ONE fused forward+backward when paired
+    with the Pallas batch potentials (ops/gp_rk4.make_fused_gp_potential,
+    ops/gp_dopri5_grad.make_fused_gp_potential_dopri5, ops/mlp_rk4).
+
+    Same update as `svgd` (Liu & Wang phi with the reference's RBF
+    median-heuristic kernel, stein.py:22-34); only the score plumbing
+    differs.  BASELINE.json configs[4] is this kernel at 64-1024
+    particles (plus the >= 4096 Pallas-tile regime)."""
+    sched = schedules.resolve(step_size)
+    unravel_ref = [lambda v: v]
+
+    def init(position):
+        if isinstance(position, jax.Array) and position.ndim == 2:
+            unravel_ref[0] = lambda v: v
+            return SVGDState(position, jnp.asarray(0, jnp.int32))
+        flat = jax.vmap(lambda p: ravel_pytree(p)[0])(position)
+        unravel_ref[0] = ravel_pytree(
+            jax.tree.map(lambda x: x[0], position))[1]
+        return SVGDState(flat, jnp.asarray(0, jnp.int32))
+
+    def step(key, state):
+        lr = sched(state.step)
+        unravel = unravel_ref[0]
+
+        def pot_sum(flat):
+            return jnp.sum(potential_batch(jax.vmap(unravel)(flat)))
+
+        scores = -jax.grad(pot_sum)(state.particles)
+        phi = _phi_dispatch(state.particles, scores, sigma, use_pallas,
+                            median_subsample)
+        new_particles = state.particles + lr * phi
+        pots = potential_batch(jax.vmap(unravel)(new_particles))
         info = {"potential": jnp.mean(pots), "accepted": jnp.asarray(True),
                 "step_size": lr}
         return SVGDState(new_particles, state.step + 1), info

@@ -471,3 +471,34 @@ def test_guard_finite_freezes_divergent_chain():
     first_bad = int(np.argmin(fin))
     assert np.array_equal(pos[first_bad:], np.broadcast_to(
         pos[first_bad], pos[first_bad:].shape))
+
+
+def test_svgd_batched_matches_svgd():
+    # svgd_batched (fused-potential score plumbing) must take the exact
+    # same deterministic flow as svgd when the batched potential is the
+    # vmapped scalar one
+    def gauss_batched(x):
+        return jax.vmap(gauss_potential)(x)
+
+    k_scalar = samplers.svgd(gauss_potential, step_size=0.3)
+    k_batch = samplers.svgd_batched(gauss_batched, step_size=0.3)
+    particles = jax.random.normal(jax.random.PRNGKey(42), (128, 2)) * 2.0
+
+    s1 = k_scalar.init(particles)
+    s2 = k_batch.init(particles)
+    for i in range(5):
+        s1, i1 = k_scalar.step(jax.random.PRNGKey(i), s1)
+        s2, i2 = k_batch.step(jax.random.PRNGKey(i), s2)
+    np.testing.assert_allclose(np.asarray(s1.particles),
+                               np.asarray(s2.particles), rtol=1e-6,
+                               atol=1e-8)
+
+    # pytree positions (the sampler-facing layout, leading particle axis)
+    def pot_tree(p):
+        return (jnp.sum(p["U"] ** 2, (-2, -1))
+                + jnp.sum(p["logsn"] ** 2, -1)) / 2
+
+    kt = samplers.svgd_batched(pot_tree, step_size=0.3)
+    st = kt.init({"U": particles[:, :1, None], "logsn": particles[:, 1:]})
+    st, _ = kt.step(jax.random.PRNGKey(0), st)
+    assert np.all(np.isfinite(np.asarray(st.particles)))
