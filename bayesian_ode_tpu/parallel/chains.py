@@ -14,10 +14,13 @@ and single-chip runs are numerically identical.
 """
 from __future__ import annotations
 
+import hashlib
+from collections import OrderedDict
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..samplers import sample_chain, sample_chains
@@ -86,7 +89,26 @@ def sample_chain_sharded_batched(kernel: TransitionKernel, position0, key,
     return run(position0, keys)
 
 
-_SHARDED_SOLVE_CACHE: dict = {}
+_SHARDED_SOLVE_CACHE: OrderedDict = OrderedDict()
+_SHARDED_SOLVE_CACHE_MAX = 32
+
+
+def _static_content_key(static) -> tuple:
+    """Content hash of a GPVectorFieldStatic-like NamedTuple: array leaves
+    by (dtype, shape, byte digest), scalars by value.  Rebuilding an
+    identical `static` per call (the natural `make_static(...)` pattern)
+    therefore hits the cache instead of silently re-tracing."""
+    parts = []
+    for leaf in static:
+        if hasattr(leaf, "shape"):
+            a = np.asarray(jax.device_get(leaf))
+            parts.append(
+                (str(a.dtype), a.shape,
+                 hashlib.sha1(a.tobytes()).hexdigest())
+            )
+        else:
+            parts.append(leaf)
+    return (type(static).__name__, tuple(parts))
 
 
 def _sharded_solve_fn(mesh: Mesh, axis: str, interpret: bool, static,
@@ -94,15 +116,16 @@ def _sharded_solve_fn(mesh: Mesh, axis: str, interpret: bool, static,
     """Build (or fetch) the jitted shard_map for one (mesh, config,
     static) combination.  `static` and the solve kwargs are baked into
     the traced program (the kernel needs them as Python constants), so
-    the cache is keyed on the static object's identity — rebuilding an
-    identical `static` per call forfeits the cache but stays correct.
-    A/x0/ts remain traced arguments, so new values hit the jit cache."""
+    the cache is keyed on the static object's CONTENT (arrays are tiny:
+    M^2 <= 36 rows).  A/x0/ts remain traced arguments, so new values hit
+    the jit cache.  LRU eviction keeps hot entries when the cache fills."""
     from ..ops.gp_dopri5 import gp_dopri5_solve_whole
 
-    key = (mesh, axis, interpret, id(static), kwargs_items)
+    key = (mesh, axis, interpret, _static_content_key(static), kwargs_items)
     fn = _SHARDED_SOLVE_CACHE.get(key)
     if fn is not None:
-        return fn[0]
+        _SHARDED_SOLVE_CACHE.move_to_end(key)
+        return fn
     solve_kwargs = dict(kwargs_items)
 
     def local_solve(A_local, x0, ts):
@@ -125,10 +148,9 @@ def _sharded_solve_fn(mesh: Mesh, axis: str, interpret: bool, static,
             check_vma=False,
         )
     )
-    if len(_SHARDED_SOLVE_CACHE) > 32:
-        _SHARDED_SOLVE_CACHE.clear()
-    # keep a strong ref to `static` so its id() stays valid for the key
-    _SHARDED_SOLVE_CACHE[key] = (fn, static)
+    while len(_SHARDED_SOLVE_CACHE) >= _SHARDED_SOLVE_CACHE_MAX:
+        _SHARDED_SOLVE_CACHE.popitem(last=False)  # evict least-recent
+    _SHARDED_SOLVE_CACHE[key] = fn
     return fn
 
 

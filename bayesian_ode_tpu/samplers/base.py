@@ -19,7 +19,7 @@ replacing the reference's print statements and `arr_closure` callbacks
 """
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -175,7 +175,8 @@ def guard_finite(kernel: TransitionKernel) -> TransitionKernel:
     return TransitionKernel(init, step)
 
 
-def guard_finite_batched(kernel: TransitionKernel) -> TransitionKernel:
+def guard_finite_batched(kernel: TransitionKernel,
+                         n_chains: Optional[int] = None) -> TransitionKernel:
     """Per-chain `guard_finite` for BATCHED kernels (fused batch-potential
     contract: one state whose float leaves carry a leading chain axis C).
 
@@ -186,19 +187,30 @@ def guard_finite_batched(kernel: TransitionKernel) -> TransitionKernel:
     one of ITS float entries is finite (float leaves without the leading
     chain axis — none in the shipped batched states — gate globally).
     `info["finite"]` is the (C,) per-chain mask.
+
+    C comes from the POSITION pytree at `init` (chain-major by the batch
+    contract), or from an explicit `n_chains` — not from state leaf
+    order, where a future chain-count-sized auxiliary leaf ahead of the
+    positions could silently re-anchor the mask to the wrong axis.  Only
+    if `step` runs on a state whose `init` this wrapper never saw (e.g.
+    a restored checkpoint) does it fall back to first-leading-axis
+    inference.
     """
+    c_ref = [n_chains]
 
     def init(position):
+        if c_ref[0] is None:
+            c_ref[0] = int(jax.tree.leaves(position)[0].shape[0])
         return kernel.init(position)
 
     def step(key, state):
         new_state, info = kernel.step(key, state)
         float_leaves = [l for l in jax.tree.leaves(new_state)
                         if jnp.issubdtype(l.dtype, jnp.floating)]
-        # chain count from the first leaf that HAS a leading axis
-        # (scalar float leaves, e.g. an adapted temperature, gate
-        # globally and must not drive the inference)
-        C = next((l.shape[0] for l in float_leaves if l.ndim >= 1), 1)
+        # scalar float leaves (e.g. an adapted temperature) gate globally
+        # and must not drive the fallback inference
+        C = c_ref[0] if c_ref[0] is not None else next(
+            (l.shape[0] for l in float_leaves if l.ndim >= 1), 1)
 
         def leaf_finite(leaf):
             if leaf.ndim >= 1 and leaf.shape[0] == C:

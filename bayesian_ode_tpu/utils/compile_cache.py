@@ -22,7 +22,7 @@ _DEFAULT_DIR = os.path.join(
     os.path.expanduser("~"), ".cache", "bayesian_ode_tpu", "xla_cache"
 )
 
-_enabled = False
+_enabled_path: str | None = None
 
 
 def enable_persistent_cache(path: str | None = None,
@@ -31,14 +31,16 @@ def enable_persistent_cache(path: str | None = None,
 
     Only executables whose compile took >= `min_compile_time_secs` are
     written (the default keeps tiny jits out of the cache; the fused
-    trajectory kernels are minutes).  Returns the cache dir, or None if
-    disabled via BODE_NO_COMPILE_CACHE=1.  Safe to call more than once.
+    trajectory kernels are minutes).  Returns the cache dir actually in
+    effect, or None if disabled via BODE_NO_COMPILE_CACHE=1.  Safe to
+    call more than once; a repeat call with a DIFFERENT path re-points
+    the jax config so the returned path is always where the cache lives.
     """
-    global _enabled
+    global _enabled_path
     if os.environ.get("BODE_NO_COMPILE_CACHE") == "1":
         return None
     path = path or os.environ.get("BODE_COMPILE_CACHE_DIR") or _DEFAULT_DIR
-    if _enabled:
+    if _enabled_path == path:
         return path
 
     import jax
@@ -47,5 +49,5 @@ def enable_persistent_cache(path: str | None = None,
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       min_compile_time_secs)
-    _enabled = True
+    _enabled_path = path
     return path

@@ -24,6 +24,10 @@ needs_devices = pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs 8 virtual devices"
 )
 
+# compile-dominated (~4 min serial): deselect with -m "not slow" for the
+# fast core gate; a plain `pytest tests/` still runs everything
+pytestmark = pytest.mark.slow
+
 
 @needs_devices
 def test_sharded_chains_match_unsharded():
@@ -254,3 +258,40 @@ def test_sample_chain_sharded_batched_mala_asghmc():
         assert positions.shape == (300, 32, 3)
         mean = np.asarray(positions).reshape(-1, 3).mean(0)
         assert np.abs(mean).max() < 0.4, mean
+
+
+@needs_devices
+def test_sharded_solve_cache_content_keyed():
+    # rebuilding an IDENTICAL `static` (the natural make_static-per-call
+    # pattern) must hit the shard_map cache instead of re-tracing
+    from bayesian_ode_tpu.models import kernel_regression as kr
+    from bayesian_ode_tpu.models import make_dataset
+    from bayesian_ode_tpu.parallel import chains as pchains
+    from bayesian_ode_tpu.parallel import gp_dopri5_solve_sharded
+
+    data = make_dataset(jax.random.PRNGKey(2), "vdp", N=2, T=6, t_max=2.0,
+                        noise=0.05, x0_scale=1.2)
+    Z = kr.make_inducing_grid(data["Y"], M=3)
+    p0 = kr.init_params(data["Y"], data["t"],
+                        kr.make_static(Z, sf=1.0, ell=0.75), noise=0.05)
+    mesh = make_mesh(8, axis="chain")
+    C = 8 * 128
+    x0 = data["x0"].astype(jnp.float32)
+
+    pchains._SHARDED_SOLVE_CACHE.clear()
+    results = []
+    for seed in range(2):
+        # fresh-but-identical static each iteration
+        static = kr.make_static(Z, sf=1.0, ell=0.75)
+        A = (static.KzzinvL @ p0["U"]).astype(jnp.float32)[None] + \
+            0.01 * jax.random.normal(jax.random.PRNGKey(seed), (C, 9, 2),
+                                     jnp.float32)
+        ys, st = gp_dopri5_solve_sharded(A, x0, data["t"], static, mesh,
+                                         interpret=True)
+        results.append(np.asarray(ys))
+    assert len(pchains._SHARDED_SOLVE_CACHE) == 1  # one trace, one entry
+    # different content -> new entry
+    static2 = kr.make_static(Z, sf=1.0, ell=0.8)
+    A = (static2.KzzinvL @ p0["U"]).astype(jnp.float32)[None].repeat(C, 0)
+    gp_dopri5_solve_sharded(A, x0, data["t"], static2, mesh, interpret=True)
+    assert len(pchains._SHARDED_SOLVE_CACHE) == 2

@@ -46,7 +46,7 @@ def test_enable_persistent_cache(tmp_path, monkeypatch):
     import bayesian_ode_tpu.utils.compile_cache as cc
 
     prev = jax.config.jax_compilation_cache_dir
-    monkeypatch.setattr(cc, "_enabled", False)
+    monkeypatch.setattr(cc, "_enabled_path", None)
     cache_dir = str(tmp_path / "xla_cache")
     try:
         assert cc.enable_persistent_cache(cache_dir) == cache_dir
@@ -54,7 +54,12 @@ def test_enable_persistent_cache(tmp_path, monkeypatch):
         assert jax.config.jax_compilation_cache_dir == cache_dir
         # Idempotent; and the kill switch wins over any path.
         assert cc.enable_persistent_cache(cache_dir) == cache_dir
-        monkeypatch.setattr(cc, "_enabled", False)
+        # A repeat call with a DIFFERENT path must re-point the config so
+        # the returned path is where the cache actually lives (ADVICE r1).
+        cache_dir2 = str(tmp_path / "xla_cache2")
+        assert cc.enable_persistent_cache(cache_dir2) == cache_dir2
+        assert jax.config.jax_compilation_cache_dir == cache_dir2
+        monkeypatch.setattr(cc, "_enabled_path", None)
         monkeypatch.setenv("BODE_NO_COMPILE_CACHE", "1")
         assert cc.enable_persistent_cache(cache_dir) is None
     finally:
