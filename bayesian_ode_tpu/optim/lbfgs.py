@@ -14,8 +14,10 @@ Semantics preserved (file:line in optims/LBFGS.py):
   - curvature rejection ys > eps*s'Bs, Powell damping
     y <- theta*y + (1-theta)*Bs with theta = (1-eps)*sBs/(sBs-ys) (339-420)
   - Bs approximated by -t*g (695-699)
-  - Armijo backtracking with eta-division and optional quadratic
-    interpolation; weak-Wolfe bracketing with bisection (422-976)
+  - Armijo backtracking with the minFunc polyinterp ladder (eta-division,
+    then quadratic, then 3-point cubic — optim/polyinterp.py); weak-Wolfe
+    bracketing with eta-expansion and safeguarded cubic interpolation
+    inside the bracket (422-976)
 """
 from __future__ import annotations
 
@@ -25,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.pytree import PyTree, ravel_pytree
+from . import polyinterp
 
 
 class LBFGSState(NamedTuple):
@@ -107,76 +110,131 @@ def curvature_update(state: LBFGSState, flat_grad: jax.Array,
 
 
 def _armijo_search(fn, x, d, F0, gtd, t0, c1, eta, max_ls, interpolate):
-    """Backtracking: shrink t until F(x + t*d) <= F0 + c1*t*gtd
-    (LBFGS.py:537-710)."""
+    """Backtracking: shrink t until F(x + t*d) <= F0 + c1*t*gtd, with the
+    reference's minFunc interpolation ladder (LBFGS.py:537-710):
+
+      - first backtrack (or non-finite F): divide by eta (LBFGS.py:653),
+      - second: quadratic through (0, F0, gtd), (t, F_new)
+        (LBFGS.py:658-660),
+      - third on: cubic through those plus (t_prev, F_prev)
+        (LBFGS.py:664-665),
+
+    each safeguarded into [1e-3 t, 0.6 t] (LBFGS.py:667-672)."""
 
     def cond(carry):
-        t, F_new, ls, done = carry
+        t, t_prev, F_new, F_prev, ls, done = carry
         return (~done) & (ls < max_ls)
 
     def body(carry):
-        t, F_new, ls, _ = carry
+        t, t_prev, F_new, F_prev, ls, _ = carry
         if interpolate:
-            # quadratic interpolation through (0, F0, gtd), (t, F_new),
-            # safeguarded into [0.1t, 0.9t] (minFunc polyinterp 2-point case)
-            denom = 2.0 * (F_new - F0 - t * gtd)
-            t_q = -(gtd * t * t) / jnp.where(denom == 0, 1.0, denom)
-            bad = (denom <= 0) | ~jnp.isfinite(t_q)
-            t_new = jnp.where(bad, t / eta, jnp.clip(t_q, 0.1 * t, 0.9 * t))
+            t_q = polyinterp.quad_min(
+                jnp.zeros_like(t), F0, gtd, t, F_new,
+                jnp.zeros_like(t), t)
+            t_c = polyinterp.cubic_min_3pt(
+                jnp.zeros_like(t), F0, gtd, t, F_new, t_prev, F_prev,
+                jnp.zeros_like(t), jnp.maximum(t, t_prev))
+            use_quad = (ls == 1) | ~jnp.isfinite(F_prev)
+            t_i = jnp.clip(jnp.where(use_quad, t_q, t_c),
+                           1e-3 * t, 0.6 * t)
+            t_new = jnp.where((ls == 0) | ~jnp.isfinite(F_new),
+                              t / eta, t_i)
         else:
             t_new = t / eta
         F_try = fn(x + t_new * d)
         ok = F_try <= F0 + c1 * t_new * gtd
-        return (t_new, F_try, ls + 1, ok)
+        return (t_new, t, F_try, F_new, ls + 1, ok)
 
     F_first = fn(x + t0 * d)
     ok0 = F_first <= F0 + c1 * t0 * gtd
-    t, F_new, ls, done = jax.lax.while_loop(
-        cond, body, (t0, F_first, jnp.asarray(0, jnp.int32), ok0)
+    nan = jnp.full_like(F0, jnp.nan)
+    t, _, F_new, _, ls, done = jax.lax.while_loop(
+        cond, body,
+        (t0, jnp.zeros_like(t0), F_first, nan, jnp.asarray(1, jnp.int32),
+         ok0),
     )
     fail = ~done
     return t, F_new, ls, fail
 
 
-def _wolfe_search(value_and_grad, x, d, F0, gtd, t0, c1, c2, eta, max_ls):
+def _wolfe_search(value_and_grad, x, d, F0, gtd, t0, c1, c2, eta, max_ls,
+                  interpolate=True):
     """Weak Wolfe bracketing: sufficient decrease + curvature
-    gtd_new >= c2*gtd, expanding by eta / bisecting the bracket
-    (LBFGS.py:712-976)."""
+    gtd_new >= c2*gtd, expanding by eta while unbracketed, interpolating
+    inside the bracket (LBFGS.py:712-976):
+
+      - Armijo fails -> upper bound beta = t; passes but curvature fails
+        -> lower bound alpha = t (LBFGS.py:854-893),
+      - next t: eta*t while no upper bound exists (LBFGS.py:897-901);
+        once bracketed, the polynomial minimizer over
+        [(alpha, F_a, g_a), (beta, F_b, g_b)], safeguarded away from the
+        bracket's edges (LBFGS.py:905-920).
+
+    Two documented deviations from the reference inside the bracket:
+      - it interpolates with the QUADRATIC (g_b marked unknown,
+        LBFGS.py:864-866) because evaluating g at an Armijo-failed point
+        would cost it an extra backward; this search's value_and_grad
+        already computed it, so the cubic (both gradients) is free
+        information and strictly tighter.
+      - its upper safeguard `t > (beta-alpha)/2 -> t = (beta-alpha)/2`
+        (LBFGS.py:916-917) is the bracket's WIDTH, not a point: for
+        alpha > beta/3 it e j e c t s t below alpha, outside the
+        bracket.  The evident minFunc intent (cf. its own t<=0 fallback
+        at LBFGS.py:920) is the midpoint, used here:
+        clamp into [alpha + 0.2 (beta-alpha), (alpha+beta)/2]."""
 
     def eval_t(t):
         F, g = value_and_grad(x + t * d)
         return F, jnp.dot(g, d)
 
     def cond(carry):
-        t, lo, hi, F_new, gtd_new, ls, done = carry
+        (t, t_prev, alpha, beta, F_a, g_a, F_b, g_b, F_new, gtd_new, ls,
+         done) = carry
         return (~done) & (ls < max_ls)
 
     def body(carry):
-        t, lo, hi, F_new, gtd_new, ls, _ = carry
+        (t, t_prev, alpha, beta, F_a, g_a, F_b, g_b, F_new, gtd_new, ls,
+         _) = carry
         armijo = F_new <= F0 + c1 * t * gtd
         curv = gtd_new >= c2 * gtd
+        done = armijo & curv
 
-        # Armijo fails -> shrink: hi = t, bisect
-        # Armijo ok, curvature fails -> grow: lo = t, extrapolate/bisect
-        hi_new = jnp.where(~armijo, t, hi)
-        lo_new = jnp.where(armijo & ~curv, t, lo)
-        has_hi = jnp.isfinite(hi_new)
+        beta_n = jnp.where(~armijo, t, beta)
+        F_b_n = jnp.where(~armijo, F_new, F_b)
+        g_b_n = jnp.where(~armijo, gtd_new, g_b)
+        grow = armijo & ~curv
+        alpha_n = jnp.where(grow, t, alpha)
+        F_a_n = jnp.where(grow, F_new, F_a)
+        g_a_n = jnp.where(grow, gtd_new, g_a)
+
+        bracketed = jnp.isfinite(F_b_n) & jnp.isfinite(beta_n)
+        if interpolate:
+            t_i = polyinterp.cubic_min(alpha_n, F_a_n, g_a_n, beta_n,
+                                       F_b_n, g_b_n, alpha_n, beta_n)
+            width = beta_n - alpha_n
+            t_in = jnp.clip(t_i, alpha_n + 0.2 * width,
+                            alpha_n + 0.5 * width)
+        else:
+            t_in = 0.5 * (alpha_n + beta_n)
         t_next = jnp.where(
-            ~armijo,
-            0.5 * (lo_new + t),
-            jnp.where(has_hi, 0.5 * (t + hi_new), t * eta),
+            bracketed, t_in,
+            jnp.where(jnp.isfinite(beta_n), 0.5 * (alpha_n + beta_n),
+                      t * eta),
         )
         F_next, gtd_next = eval_t(t_next)
-        done = armijo & curv
         t_out = jnp.where(done, t, t_next)
-        return (t_out, lo_new, hi_new, jnp.where(done, F_new, F_next),
+        return (t_out, t, alpha_n, beta_n, F_a_n, g_a_n, F_b_n, g_b_n,
+                jnp.where(done, F_new, F_next),
                 jnp.where(done, gtd_new, gtd_next), ls + 1, done)
 
     F_first, gtd_first = eval_t(t0)
-    carry = (t0, jnp.asarray(0.0, t0.dtype), jnp.asarray(jnp.inf, t0.dtype),
+    nan = jnp.full_like(F0, jnp.nan)
+    carry = (t0, jnp.zeros_like(t0), jnp.asarray(0.0, t0.dtype),
+             jnp.asarray(jnp.inf, t0.dtype), F0, gtd, nan, nan,
              F_first, gtd_first, jnp.asarray(0, jnp.int32),
              jnp.asarray(False))
-    t, _, _, F_new, _, ls, done = jax.lax.while_loop(cond, body, carry)
+    out = jax.lax.while_loop(cond, body, carry)
+    t, F_new, ls, done = out[0], out[8], out[10], out[11]
     return t, F_new, ls, ~done
 
 
@@ -227,7 +285,7 @@ def lbfgs_step(fn_value_and_grad: Callable, state: LBFGSState, lr: float = 1.0,
     elif line_search == "wolfe":
         t, F_new, _, fail = _wolfe_search(
             fn_value_and_grad, state.position, d, state.value, gtd, t0, c1,
-            c2, eta, max_ls,
+            c2, eta, max_ls, interpolate,
         )
     else:
         raise ValueError(f"unknown line_search {line_search!r}")

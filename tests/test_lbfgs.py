@@ -117,3 +117,120 @@ def test_minimize_under_jit():
     fn, A, b = quadratic_problem()
     run = jax.jit(lambda x0: lbfgs_minimize(fn, x0, max_iters=40)[1])
     assert float(run(jnp.zeros(8))) < float(fn(jnp.zeros(8)))
+
+
+# ---- minFunc polyinterp parity (VERDICT r1 #5) ----
+
+def _reference_polyinterp():
+    import os
+    import sys
+    if not os.path.isdir("/root/reference/optims"):
+        pytest.skip("reference checkout not available")
+    sys.path.insert(0, "/root/reference")
+    np.Inf = np.inf  # the reference still uses the numpy<2 alias
+    from optims.LBFGS import polyinterp
+    return polyinterp
+
+
+def test_quad_min_matches_reference_polyinterp():
+    from bayesian_ode_tpu.optim import quad_min
+
+    ref = _reference_polyinterp()
+    cases = [
+        # (x1, f1, g1, x2, f2): descent from x1, overshoot at x2
+        (0.0, 1.0, -2.0, 1.0, 0.8),
+        (0.0, 5.0, -0.3, 2.0, 4.9),
+        (0.2, 1.0, -2.0, 1.0, 0.8),     # general (x1 != 0) branch
+        (0.0, 1.0, -2.0, 0.5, 3.0),     # big overshoot -> tiny step
+        (1.0, 2.0, -1.0, 3.0, 2.5),
+    ]
+    for x1, f1, g1, x2, f2 in cases:
+        expected = ref(np.array([[x1, f1, g1], [x2, f2, np.nan]]))
+        got = float(quad_min(*map(jnp.float64, (x1, f1, g1, x2, f2)),
+                             jnp.float64(min(x1, x2)),
+                             jnp.float64(max(x1, x2))))
+        np.testing.assert_allclose(got, expected, rtol=1e-12, err_msg=str(
+            (x1, f1, g1, x2, f2)))
+
+
+def test_cubic_min_matches_reference_polyinterp():
+    from bayesian_ode_tpu.optim import cubic_min
+
+    ref = _reference_polyinterp()
+    cases = [
+        # (x1, f1, g1, x2, f2, g2) with a real discriminant
+        (0.0, 1.0, -2.0, 1.0, 0.8, 1.5),
+        (0.0, 3.0, -1.0, 2.0, 2.0, 0.5),
+        (0.5, 1.0, -0.7, 1.5, 0.9, 0.9),
+        (0.0, 1.0, -2.0, 1.0, 1.5, 4.0),
+    ]
+    for x1, f1, g1, x2, f2, g2 in cases:
+        expected = ref(np.array([[x1, f1, g1], [x2, f2, g2]]))
+        got = float(cubic_min(*map(jnp.float64, (x1, f1, g1, x2, f2, g2)),
+                              jnp.float64(min(x1, x2)),
+                              jnp.float64(max(x1, x2))))
+        np.testing.assert_allclose(got, expected, rtol=1e-12, err_msg=str(
+            (x1, f1, g1, x2, f2, g2)))
+    # negative discriminant (d1 = 0, g1*g2 > 0): the reference's
+    # np.isreal(nan) guard lets NaN through (LBFGS.py:85-90, documented
+    # deviation) — here: bisection
+    bad = float(cubic_min(*map(jnp.float64, (0.0, 1.0, 1.0, 1.0, 5.0 / 3.0,
+                                             1.0)), jnp.float64(0.0),
+                          jnp.float64(1.0)))
+    assert bad == 0.5
+
+
+def test_cubic_min_3pt_matches_reference_polyinterp():
+    from bayesian_ode_tpu.optim import cubic_min_3pt
+
+    ref = _reference_polyinterp()
+    cases = [
+        # (x1, f1, g1) + (x2, f2), (x3, f3): the Armijo >=2-backtrack
+        # pattern [0, t_new, t_prev]
+        (0.0, 1.0, -2.0, 1.0, 0.8, 2.0, 1.5),
+        (0.0, 2.0, -0.5, 0.6, 1.9, 1.2, 2.4),
+        (0.0, 1.0, -1.0, 0.3, 0.95, 0.9, 1.3),
+        (0.0, 4.0, -3.0, 0.8, 3.1, 1.6, 5.0),
+    ]
+    for x1, f1, g1, x2, f2, x3, f3 in cases:
+        expected = ref(np.array([[x1, f1, g1], [x2, f2, np.nan],
+                                 [x3, f3, np.nan]]))
+        lo = min(x1, x2, x3)
+        hi = max(x1, x2, x3)
+        got = float(cubic_min_3pt(
+            *map(jnp.float64, (x1, f1, g1, x2, f2, x3, f3)),
+            jnp.float64(lo), jnp.float64(hi)))
+        np.testing.assert_allclose(got, expected, rtol=1e-9, atol=1e-12,
+                                   err_msg=str((x1, f1, g1, x2, f2, x3, f3)))
+
+
+def test_polyinterp_jittable():
+    from bayesian_ode_tpu.optim import cubic_min, cubic_min_3pt, quad_min
+
+    args = tuple(jnp.float64(v) for v in (0.0, 1.0, -2.0, 1.0, 0.8))
+    assert np.isfinite(float(jax.jit(quad_min)(*args, 0.0, 1.0)))
+    args = tuple(jnp.float64(v) for v in (0.0, 1.0, -2.0, 1.0, 0.8, 1.5))
+    assert np.isfinite(float(jax.jit(cubic_min)(*args, 0.0, 1.0)))
+    args = tuple(jnp.float64(v) for v in (0.0, 1.0, -2.0, 1.0, 0.8, 2.0,
+                                          1.5))
+    assert np.isfinite(float(jax.jit(cubic_min_3pt)(*args, 0.0, 2.0)))
+
+
+def test_interpolation_reduces_rosenbrock_closure_work():
+    # VERDICT r1 #5 "done" gate: the polyinterp line searches must reach
+    # the optimum in fewer iterations than the pure eta-division /
+    # bisection searches on Rosenbrock (each iteration re-runs the
+    # closure max_ls times, so iterations-to-tolerance is closure work).
+    def first_below(trace, tol=1e-8):
+        below = np.asarray(trace) < tol
+        assert below.any(), "did not converge"
+        return int(np.argmax(below))
+
+    iters = {}
+    for interpolate in (False, True):
+        _, _, trace, _ = lbfgs_minimize(
+            rosenbrock, jnp.zeros(6), max_iters=200, line_search="wolfe",
+            history_size=10, interpolate=interpolate,
+        )
+        iters[interpolate] = first_below(trace)
+    assert iters[True] < iters[False], iters
