@@ -59,6 +59,32 @@ def test_dopri5_backwards_all_problems(ode):
     assert rel_error(p.sol, y) < ERROR_TOL
 
 
+@pytest.mark.parametrize("method", ["dopri5", "rk4", "tsit5"])
+def test_backwards_traced_t_under_jit(method):
+    # VERDICT r1 #7: decreasing TRACED t inside jit (direction resolved
+    # dynamically via the sign trick) must match the concrete-array path,
+    # with and without the explicit options={"reverse": ...} pin.
+    p = problems.construct_problem(ode="sine", reverse=True)
+    concrete = odeint(p.func, p.y0, p.t, method=method)
+
+    traced = jax.jit(
+        lambda t: odeint(p.func, p.y0, t, method=method))(p.t)
+    assert rel_error(concrete, traced) < 1e-9
+
+    pinned = jax.jit(lambda t: odeint(p.func, p.y0, t, method=method,
+                                      options={"reverse": True}))(p.t)
+    assert rel_error(concrete, pinned) < 1e-9
+    if method != "rk4":  # fixed-grid accuracy on this problem is not
+        assert rel_error(p.sol, traced) < ERROR_TOL  # what this gates
+
+    # explicit reverse=False on increasing times stays the fast path
+    pf = problems.construct_problem(ode="sine")
+    fwd = jax.jit(lambda t: odeint(pf.func, pf.y0, t, method=method,
+                                   options={"reverse": False}))(pf.t)
+    assert rel_error(pf.sol, jax.jit(lambda t: odeint(
+        pf.func, pf.y0, t, method=method))(pf.t)) == rel_error(pf.sol, fwd)
+
+
 @pytest.mark.parametrize("method", ["dopri5", "rk4", "adams"])
 def test_no_integration(method):
     p = problems.construct_problem(ode="constant")
