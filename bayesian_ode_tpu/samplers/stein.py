@@ -70,15 +70,44 @@ def svgd_direction(particles: jax.Array, scores: jax.Array,
 class SVGDState(NamedTuple):
     particles: jax.Array   # (n, P) flattened particle positions
     step: jax.Array
+    accum: Optional[jax.Array] = None   # AdaGrad accumulator (adagrad=True)
 
     @property
     def position(self):
         return self.particles
 
 
+def _svgd_init(position, adagrad, unravel_ref):
+    if isinstance(position, jax.Array) and position.ndim == 2:
+        unravel_ref[0] = lambda v: v
+        flat = position
+    else:
+        flat = jax.vmap(lambda p: ravel_pytree(p)[0])(position)
+        unravel_ref[0] = ravel_pytree(
+            jax.tree.map(lambda x: x[0], position))[1]
+    accum = jnp.zeros_like(flat) if adagrad else None
+    return SVGDState(flat, jnp.asarray(0, jnp.int32), accum)
+
+
+def _svgd_apply(state, phi, lr, adagrad, alpha=0.9, fudge=1e-6):
+    """x <- x + lr * phi, optionally AdaGrad-normalized per coordinate
+    (historical_grad = alpha*hist + (1-alpha)*phi^2, first step seeds
+    hist = phi^2) — the step control of Liu & Wang's published SVGD
+    implementation, needed because raw ODE-posterior scores span ~5
+    orders of magnitude across coordinates (the reference's stein.py stub
+    never reached the update step, so the completed kernel follows the
+    paper's own recipe)."""
+    if not adagrad:
+        return SVGDState(state.particles + lr * phi, state.step + 1, None)
+    hist = jnp.where(state.step == 0, phi * phi,
+                     alpha * state.accum + (1.0 - alpha) * phi * phi)
+    adj = phi / (fudge + jnp.sqrt(hist))
+    return SVGDState(state.particles + lr * adj, state.step + 1, hist)
+
+
 def svgd(potential_fn: Callable, step_size, sigma: Optional[float] = None,
-         use_pallas: str = "auto", median_subsample: int = 2048
-         ) -> TransitionKernel:
+         use_pallas: str = "auto", median_subsample: int = 2048,
+         adagrad: bool = False) -> TransitionKernel:
     """SVGD kernel over a particle ensemble.
 
     `init` takes a pytree template whose leaves have a leading particle
@@ -91,6 +120,10 @@ def svgd(potential_fn: Callable, step_size, sigma: Optional[float] = None,
     HBM; with the median bandwidth heuristic, the median is then computed
     on a `median_subsample` particle subset (exact medians need the full
     matrix).  "never"/"always" force the choice.
+
+    adagrad=True applies Liu & Wang's AdaGrad-with-momentum step control
+    (see _svgd_apply) — required on raw ODE posteriors, whose score
+    scales vary too much across coordinates for a global step size.
     """
     sched = schedules.resolve(step_size)
 
@@ -99,12 +132,7 @@ def svgd(potential_fn: Callable, step_size, sigma: Optional[float] = None,
     unravel_ref = [lambda v: v]
 
     def init(position):
-        if isinstance(position, jax.Array) and position.ndim == 2:
-            unravel_ref[0] = lambda v: v
-            return SVGDState(position, jnp.asarray(0, jnp.int32))
-        flat = jax.vmap(lambda p: ravel_pytree(p)[0])(position)
-        unravel_ref[0] = ravel_pytree(jax.tree.map(lambda x: x[0], position))[1]
-        return SVGDState(flat, jnp.asarray(0, jnp.int32))
+        return _svgd_init(position, adagrad, unravel_ref)
 
     def step(key, state):
         lr = sched(state.step)
@@ -113,11 +141,12 @@ def svgd(potential_fn: Callable, step_size, sigma: Optional[float] = None,
         scores = -jax.vmap(grad_fn)(state.particles)
         phi = _phi_dispatch(state.particles, scores, sigma, use_pallas,
                             median_subsample)
-        new_particles = state.particles + lr * phi
-        pots = jax.vmap(lambda v: potential_fn(unravel(v)))(new_particles)
+        new_state = _svgd_apply(state, phi, lr, adagrad)
+        pots = jax.vmap(lambda v: potential_fn(unravel(v)))(
+            new_state.particles)
         info = {"potential": jnp.mean(pots), "accepted": jnp.asarray(True),
                 "step_size": lr}
-        return SVGDState(new_particles, state.step + 1), info
+        return new_state, info
 
     return TransitionKernel(init, step)
 
@@ -149,7 +178,8 @@ def _phi_dispatch(particles, scores, sigma, use_pallas, median_subsample):
 
 def svgd_batched(potential_batch: Callable, step_size,
                  sigma: Optional[float] = None, use_pallas: str = "auto",
-                 median_subsample: int = 2048) -> TransitionKernel:
+                 median_subsample: int = 2048,
+                 adagrad: bool = False) -> TransitionKernel:
     """SVGD whose scores come from a BATCHED potential — leaves carry a
     leading particle axis (n, ...) and the potential returns (n,) — so the
     whole ensemble's score pass is ONE fused forward+backward when paired
@@ -157,20 +187,15 @@ def svgd_batched(potential_batch: Callable, step_size,
     ops/gp_dopri5_grad.make_fused_gp_potential_dopri5, ops/mlp_rk4).
 
     Same update as `svgd` (Liu & Wang phi with the reference's RBF
-    median-heuristic kernel, stein.py:22-34); only the score plumbing
-    differs.  BASELINE.json configs[4] is this kernel at 64-1024
-    particles (plus the >= 4096 Pallas-tile regime)."""
+    median-heuristic kernel, stein.py:22-34, and the same optional
+    AdaGrad step control); only the score plumbing differs.
+    BASELINE.json configs[4] is this kernel at 64-1024 particles (plus
+    the >= 4096 Pallas-tile regime)."""
     sched = schedules.resolve(step_size)
     unravel_ref = [lambda v: v]
 
     def init(position):
-        if isinstance(position, jax.Array) and position.ndim == 2:
-            unravel_ref[0] = lambda v: v
-            return SVGDState(position, jnp.asarray(0, jnp.int32))
-        flat = jax.vmap(lambda p: ravel_pytree(p)[0])(position)
-        unravel_ref[0] = ravel_pytree(
-            jax.tree.map(lambda x: x[0], position))[1]
-        return SVGDState(flat, jnp.asarray(0, jnp.int32))
+        return _svgd_init(position, adagrad, unravel_ref)
 
     def step(key, state):
         lr = sched(state.step)
@@ -182,10 +207,10 @@ def svgd_batched(potential_batch: Callable, step_size,
         scores = -jax.grad(pot_sum)(state.particles)
         phi = _phi_dispatch(state.particles, scores, sigma, use_pallas,
                             median_subsample)
-        new_particles = state.particles + lr * phi
-        pots = potential_batch(jax.vmap(unravel)(new_particles))
+        new_state = _svgd_apply(state, phi, lr, adagrad)
+        pots = potential_batch(jax.vmap(unravel)(new_state.particles))
         info = {"potential": jnp.mean(pots), "accepted": jnp.asarray(True),
                 "step_size": lr}
-        return SVGDState(new_particles, state.step + 1), info
+        return new_state, info
 
     return TransitionKernel(init, step)

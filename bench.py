@@ -290,7 +290,12 @@ def svgd_throughput(data, static, params0, kr, particle_counts, n_steps):
     results = []
     for n in particle_counts:
         pos0, pot, C = _fused_gp_setup(data, static, params0, n)
-        kernel = samplers.svgd_batched(pot, step_size=1e-3)
+        # AdaGrad step control (Liu & Wang's own recipe): raw GP-posterior
+        # scores reach ~2.6e3 and a global lr either diverges (1e-3+) or
+        # crawls; with AdaGrad lr=1e-2 is stable and drops the mean
+        # potential 728 -> 618 in 50 steps (2026-08-17, v5e, 256
+        # particles; 2e-2 and 5e-3 converge slower)
+        kernel = samplers.svgd_batched(pot, step_size=1e-2, adagrad=True)
         state = kernel.init(pos0)
 
         def run_block(s, steps=n_steps):
@@ -302,20 +307,33 @@ def svgd_throughput(data, static, params0, kr, particle_counts, n_steps):
         run = jax.jit(run_block)
         state1 = jax.block_until_ready(run(state))    # compile + warm
         dt = _sustained(lambda: run(state), jax.block_until_ready, depth=2)
-        # Stein-convergence proxy: rms of the update direction phi at the
-        # evolved ensemble (phi -> 0 at the SVGD fixed point); recovered
-        # from one more step as (x' - x)/lr
+        # Stein-convergence proxy: raw phi rms at the evolved ensemble
+        # (phi -> 0 at the SVGD fixed point), plus the potential drop
         one = jax.jit(lambda s: kernel.step(jax.random.PRNGKey(1), s))
+        _, info0 = one(state)
         state2, info = one(state1)
-        phi_rms = float(jnp.sqrt(jnp.mean(
-            ((state2.particles - state1.particles) / 1e-3) ** 2)))
+        phi = svgd_phi_of(kernel, state1, pot)
         results.append({
             "particles": C,
             "particle_steps_per_sec": C * n_steps / dt,
-            "phi_rms": phi_rms,
+            "phi_rms": float(jnp.sqrt(jnp.mean(phi ** 2))),
+            "mean_potential_init": float(info0["potential"]),
             "mean_potential": float(info["potential"]),
         })
     return results
+
+
+def svgd_phi_of(kernel, state, pot):
+    """Raw Liu-Wang phi at `state` (convergence proxy independent of the
+    AdaGrad normalization)."""
+    from bayesian_ode_tpu.samplers.stein import svgd_direction
+
+    def pot_sum(flat):
+        U = flat[:, :-2].reshape(flat.shape[0], -1, 2)
+        return jnp.sum(pot({"U": U, "logsn": flat[:, -2:]}))
+
+    scores = -jax.grad(pot_sum)(state.particles)
+    return svgd_direction(state.particles, scores)
 
 
 def sgld_effective_samples(data, static, params0, kr, n_chains, num_samples,

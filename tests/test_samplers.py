@@ -502,3 +502,33 @@ def test_svgd_batched_matches_svgd():
     st = kt.init({"U": particles[:, :1, None], "logsn": particles[:, 1:]})
     st, _ = kt.step(jax.random.PRNGKey(0), st)
     assert np.all(np.isfinite(np.asarray(st.particles)))
+
+
+def test_svgd_adagrad_contracts_badly_scaled_target():
+    # AdaGrad step control (Liu & Wang's recipe): on a potential whose
+    # score scales differ by 1e4 across coordinates, a global step either
+    # diverges or freezes one coordinate; AdaGrad handles both.  Both
+    # kernels must agree and the potential must decrease.
+    scales = jnp.asarray([1.0, 1e4])
+
+    def pot_scalar(x):
+        return 0.5 * jnp.sum(scales * x * x)
+
+    def pot_batch(x):
+        return 0.5 * jnp.sum(scales * x * x, axis=-1)
+
+    particles = jax.random.normal(jax.random.PRNGKey(3), (64, 2)) * 2.0
+    k1 = samplers.svgd(pot_scalar, step_size=0.05, adagrad=True)
+    k2 = samplers.svgd_batched(pot_batch, step_size=0.05, adagrad=True)
+    s1, s2 = k1.init(particles), k2.init(particles)
+    p0 = None
+    for i in range(60):
+        s1, i1 = k1.step(jax.random.PRNGKey(i), s1)
+        s2, i2 = k2.step(jax.random.PRNGKey(i), s2)
+        if p0 is None:
+            p0 = float(i1["potential"])
+    np.testing.assert_allclose(np.asarray(s1.particles),
+                               np.asarray(s2.particles), rtol=1e-6,
+                               atol=1e-8)
+    assert np.all(np.isfinite(np.asarray(s1.particles)))
+    assert float(i1["potential"]) < 0.5 * p0, (p0, float(i1["potential"]))
