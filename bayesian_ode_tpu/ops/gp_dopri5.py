@@ -584,6 +584,13 @@ def gp_dopri5_solve(A, x0, ts, static, rtol=1e-7, atol=1e-9, safety=0.9,
     static: models.kernel_regression.GPVectorFieldStatic.
 
     Returns (ys (T, C, N, 2), stats dict).  C must be a multiple of 128.
+
+    Step-budget semantics: this legacy per-step path advances all chains
+    in one host-side while loop per output interval, so `max_steps` is
+    COLLECTIVE — one runaway chain exhausting the budget halts the whole
+    batch for that interval (visible via reached_final_time).  The
+    whole-solve kernel (gp_dopri5_solve_whole) enforces the budget
+    per-chain instead; prefer it.
     """
     C = A.shape[0]
     if C % 128 != 0:

@@ -377,13 +377,50 @@ def _make_bwd_kernel(sf, ell, N, RP, T, TP, S, SP):
 
 
 def _tile_for(C_in, tile, N, TP, S, SP):
-    """VMEM walk-down shared by forward and backward: per-lane bytes ~
-    (fixed inputs + 2x double-buffered output/record blocks) against the
-    16 MiB budget (model of gp_dopri5.gp_dopri5_solve_whole)."""
+    """Forward VMEM walk-down: per-lane bytes ~ (fixed inputs + 2x
+    double-buffered output/record blocks) against the 16 MiB budget
+    (model of gp_dopri5.gp_dopri5_solve_whole)."""
     tile = max(128, min(tile, ((C_in + 127) // 128) * 128))
     tile -= tile % 128
     while tile > 128 and tile * (3000 + 16 * N * TP + 16 * S * SP) > (
             15 * 1024 * 1024):
+        tile -= 128
+    return tile
+
+
+# Backward budgets (bytes).  The reverse sweep's Mosaic STACK is the binding
+# constraint, not the block buffers: the fully-unrolled 7x rhs + 7x rhs_vjp
+# per fori_loop iteration keeps ~64 live f32 (MP, tile) slots per chain of
+# N - measured 25.0 MiB at tile=512, N=5, MP=40 on v5e (r2 bench log), which
+# overflows the default 16 MiB scoped-vmem limit.  We raise the per-kernel
+# limit via CompilerParams and size the tile so stack + double-buffered
+# blocks stay well inside the 128 MiB v5e VMEM.
+_BWD_STACK_BUDGET = 48 * 1024 * 1024
+_BWD_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _bwd_stack_bytes(tile, N, TP, MP):
+    return tile * 4 * (64 * N * MP + 12 * TP)
+
+
+def _bwd_block_bytes(tile, N, TP, S, SP, MP, RP):
+    return tile * 4 * (2 * S * SP + 2 * N * TP + 4 * MP + 2 * RP + 8)
+
+
+def _bwd_tile_for(C, tile, N, TP, S, SP, MP, RP):
+    """Backward tile walk-down.  Must DIVIDE the forward's padded chain
+    count C (the record buffers are sliced on the same column grid); 128
+    always does since C is a multiple of the forward tile (itself a
+    multiple of 128)."""
+    tile = min(tile, C)
+
+    def fits(t):
+        return (_bwd_stack_bytes(t, N, TP, MP) <= _BWD_STACK_BUDGET
+                and _bwd_stack_bytes(t, N, TP, MP)
+                + 2 * _bwd_block_bytes(t, N, TP, S, SP, MP, RP)
+                <= _BWD_VMEM_LIMIT)
+
+    while tile > 128 and (C % tile or not fits(tile)):
         tile -= 128
     return tile
 
@@ -484,10 +521,12 @@ def _bwd_rule(sf, ell, rtol, atol, safety, ifactor, dfactor, max_steps,
     M = Z.shape[0]
     MP = _pad8(M)
     S = store_steps
-    # same deterministic walk-down as the forward (tile is a nondiff arg,
-    # C_in is static), so the record-buffer grid lines up
-    tile_ = _tile_for(C_in, tile, N, TP, S, SP)
-    C = ((C_in + tile_ - 1) // tile_) * tile_
+    # the record buffers were padded to the FORWARD's grid: recompute that
+    # C exactly (tile is a nondiff arg, C_in is static), then pick a
+    # backward tile that divides it and fits the reverse sweep's stack
+    tile_f = _tile_for(C_in, tile, N, TP, S, SP)
+    C = ((C_in + tile_f - 1) // tile_f) * tile_f
+    tile_ = _bwd_tile_for(C, tile_f, N, TP, S, SP, MP, RP)
 
     g = g.astype(f32)                              # (T, C_in, N, 2)
     # ts[0] is the pass-through row (never kernel-emitted)
@@ -522,6 +561,8 @@ def _bwd_rule(sf, ell, rtol, atol, safety, ifactor, dfactor, max_steps,
         out_specs=[vtile(MP), vtile(MP), vtile(RP), vtile(RP)],
         out_shape=[jax.ShapeDtypeStruct((MP, C), f32)] * 2
         + [jax.ShapeDtypeStruct((RP, C), f32)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_BWD_VMEM_LIMIT),
         interpret=interpret,
     )(stx, sty, gx, gy, ax, ay, zx, zy, tsp, nit)
 

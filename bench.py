@@ -263,12 +263,25 @@ def fused_sgld_dopri5_effective_samples(data, static, params0, kr, n_chains,
     )
     from bayesian_ode_tpu.samplers import schedules
 
+    from bayesian_ode_tpu.ops.gp_dopri5 import gp_dopri5_solve_whole
+
     pos0, _, C = _fused_gp_setup(data, static, params0, n_chains)
     f32 = jnp.float32
     static32 = static._replace(
         Z=static.Z.astype(f32), KzzinvL=static.KzzinvL.astype(f32),
         Kzzinv=static.Kzzinv.astype(f32),
     )
+    # gradient validity gate: the recording kernel's step mesh holds
+    # store_steps=128 iterations/chain; verify the worst chain fits
+    A0 = jnp.einsum("mk,ckd->cmd", static32.KzzinvL, pos0["U"])
+    _, st = gp_dopri5_solve_whole(A0, data["x0"].astype(f32),
+                                  data["t"].astype(f32), static32,
+                                  rtol=rtol, atol=atol)
+    max_steps = int(jnp.max(st["n_accepted"] + st["n_rejected"]))
+    print(f"# sgld@dopri5 step budget: max {max_steps}/128",
+          file=sys.stderr)
+    if max_steps > 128:
+        raise RuntimeError(f"store_steps=128 < max {max_steps}")
     pot = make_fused_gp_potential_dopri5(
         static32, data["x0"].astype(f32), data["t"].astype(f32),
         data["Y"].astype(f32), rtol=rtol, atol=atol)

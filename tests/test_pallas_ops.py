@@ -39,6 +39,7 @@ def test_svgd_phi_padding_isolated():
                                atol=2e-3)
 
 
+@pytest.mark.slow
 def test_gp_dopri5_fused_matches_generic():
     # The fused whole-step kernel must reproduce the generic adaptive
     # integrator: identical step decisions (NFE) and f32-level trajectories.
@@ -84,6 +85,7 @@ def test_gp_dopri5_fused_matches_generic():
     assert float(jnp.max(jnp.abs(ys - ys_ref))) < 2e-3
 
 
+@pytest.mark.slow
 def test_gp_dopri5_whole_matches_per_step():
     # The whole-solve kernel (while-loop + dense-output emission inside
     # the kernel) must make the same step decisions as the per-step fused
@@ -130,6 +132,7 @@ def test_gp_dopri5_whole_matches_per_step():
                                atol=1e-7)
 
 
+@pytest.mark.slow
 def test_gp_dopri5_whole_pi_controller():
     # controller="pi" must cut rejections and NFE while matching the
     # generic PI integrator's trajectory; the "i" default stays the
@@ -214,6 +217,7 @@ def test_gp_dopri5_whole_budget_exhaustion_freezes_state():
     assert ys2.shape[0] == 800 and bool(st2["reached_final_time"])
 
 
+@pytest.mark.slow
 def test_gp_rk4_fused_forward_and_gradients():
     # fused rk4 trajectory kernel + hand-written backward vs the generic
     # solver and jax autodiff (interpret mode).
@@ -286,6 +290,7 @@ def test_gp_rk4_fused_forward_and_gradients():
         jnp.max(jnp.abs(g_g))) < 1e-4
 
 
+@pytest.mark.slow
 def test_fused_kernels_nondivisible_tile_counts():
     # chain counts that don't divide the default tiles must still tile the
     # grid exactly (a floor-divided grid silently drops chains / faults)
@@ -314,6 +319,7 @@ def test_fused_kernels_nondivisible_tile_counts():
     assert tr.shape == (6, C, 3, 2)
 
 
+@pytest.mark.slow
 def test_mlp_rk4_fused_matches_generic():
     # fused MLP trajectory + hand-written backward vs generic solver and
     # jax autodiff (BASELINE config #3's field), interpret mode
@@ -476,3 +482,31 @@ def test_gp_dopri5_fused_potential_matches_generic():
     # accumulation floor (~2-3e-4 — see the f64-truth measurement in
     # test_gp_dopri5_fused_gradients_match_bounded), not at rtol
     assert rel < 1e-3, rel
+
+
+def test_gp_dopri5_grad_tile_walkdown_invariants():
+    # The backward tile must (a) divide the FORWARD's padded chain count
+    # so the record-buffer column grid lines up, (b) keep the reverse
+    # sweep's Mosaic stack inside the raised per-kernel VMEM limit
+    # (r2 bench: 25 MiB stack at the bench shape overflowed the default
+    # 16 MiB scoped-vmem limit — gp_dopri5_grad.py walk-down docstring).
+    from bayesian_ode_tpu.ops.gp_dopri5_grad import (
+        _BWD_STACK_BUDGET, _BWD_VMEM_LIMIT, _bwd_block_bytes,
+        _bwd_stack_bytes, _bwd_tile_for, _tile_for)
+
+    for C_in in (1, 16, 128, 1000, 10112, 163840):
+        for (N, T, S, M) in ((5, 64, 128, 40), (6, 64, 128, 40),
+                             (5, 128, 256, 40), (2, 8, 64, 16)):
+            RP = 8
+            SP = 8 if RP - N >= 3 else 16
+            tf = _tile_for(C_in, 1024, N, T, S, SP)
+            assert tf >= 128 and tf % 128 == 0
+            C = ((C_in + tf - 1) // tf) * tf
+            tb = _bwd_tile_for(C, tf, N, T, S, SP, M, RP)
+            assert tb >= 128 and tb % 128 == 0 and C % tb == 0, (
+                C_in, N, T, S, tf, tb)
+            if tb > 128:  # the budget binds whenever walk-down can move
+                assert _bwd_stack_bytes(tb, N, T, M) <= _BWD_STACK_BUDGET
+                assert (_bwd_stack_bytes(tb, N, T, M)
+                        + 2 * _bwd_block_bytes(tb, N, T, S, SP, M, RP)
+                        <= _BWD_VMEM_LIMIT)
