@@ -42,6 +42,7 @@ def test_nested_dict_state(method):
     assert jnp.max(jnp.abs(ys["aux"]["s"] - 2.0 * jnp.exp(-t))) < 1e-6
 
 
+@pytest.mark.slow
 def test_tuple_state_gradcheck():
     p = problems.construct_problem(ode="constant", npts=4)
 

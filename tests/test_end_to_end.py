@@ -2,6 +2,7 @@
 rk4 + continuous adjoint, SGLD kernel vmapped over chains, chain + ESS out.
 This is the workload shape of BASELINE.json config #1."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -10,6 +11,11 @@ from bayesian_ode_tpu.models import kernel_regression as kr
 from bayesian_ode_tpu.models import make_dataset
 from bayesian_ode_tpu.optim import lbfgs_minimize
 from bayesian_ode_tpu.samplers import schedules
+
+
+# end-to-end integration (test_end_to_end.py): compile-dominated; the fast
+# core gate deselects with -m 'not slow', plain pytest runs all
+pytestmark = pytest.mark.slow
 
 
 def _setup(M=6, N=5, T=60):
@@ -24,6 +30,7 @@ def _setup(M=6, N=5, T=60):
     return data, static, params0, potential
 
 
+@pytest.mark.slow
 def test_sgld_gp_vdp_posterior_chains():
     data, static, params0, potential = _setup()
     sched = schedules.polynomial_decay(lr0=1e-5, gamma=0.55, t0=100)
@@ -116,6 +123,7 @@ def test_svgd_gp_vdp_posterior():
     assert np.isfinite(np.asarray(state.particles)).all()
 
 
+@pytest.mark.slow
 def test_psgld_mlp_vdp_posterior():
     # BASELINE.json config #3: Van der Pol with the NN (MLP) mean-function
     # baseline under P-SGLD (RMSprop-style preconditioner).

@@ -21,6 +21,11 @@ from bayesian_ode_tpu.models import make_dataset
 from bayesian_ode_tpu.utils.checkpoint import load_pytree, save_pytree
 
 
+# driver-level integration (test_experiments.py): compile-dominated; the fast
+# core gate deselects with -m 'not slow', plain pytest runs all
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def tiny_data():
     return make_dataset(jax.random.PRNGKey(0), "vdp", N=2, T=12, t_max=3.0,
@@ -115,6 +120,7 @@ def test_checkpoint_roundtrip(tmp_path):
         load_pytree(path, {"a": tree["a"]})
 
 
+@pytest.mark.slow
 def test_run_sampler_fused_engine(tmp_path, tiny_data):
     cfg = tiny_config("SGLD", engine="fused", num_chains=128)
     summary = run_sampler(cfg, tiny_data, str(tmp_path), make_plots=False)
@@ -124,6 +130,7 @@ def test_run_sampler_fused_engine(tmp_path, tiny_data):
     assert (out_dir / "chain.npz").exists()
 
 
+@pytest.mark.slow
 def test_run_sampler_fused_engine_asghmc(tmp_path, tiny_data):
     cfg = tiny_config("aSGHMC", engine="fused", num_chains=128, lr=1e-4,
                       burn_in=2, num_samples=4)
@@ -141,6 +148,7 @@ def test_run_sampler_fused_engine_mala(tmp_path, tiny_data):
     assert 0.0 <= summary["acceptance"] <= 1.0
 
 
+@pytest.mark.slow
 def test_run_sampler_nn_fused_engine_asghmc(tmp_path, tiny_data):
     # the batched kernels compose with the MLP fused potential too
     cfg = tiny_config("aSGHMC", model="nn", hidden=8, lr=1e-5,
@@ -170,6 +178,7 @@ def test_run_sampler_nn_model(tmp_path, tiny_data):
         assert (out_dir / name).exists(), name
 
 
+@pytest.mark.slow
 def test_run_sampler_nn_fused_engine(tmp_path, tiny_data):
     # BASELINE config #3 shape on the fused kernels (interpret on CPU)
     cfg = tiny_config("pSGLD", model="nn", hidden=8, lr0=1e-4,
@@ -180,6 +189,7 @@ def test_run_sampler_nn_fused_engine(tmp_path, tiny_data):
     assert summary["num_chains"] == 128
 
 
+@pytest.mark.slow
 def test_run_sampler_svgd(tmp_path, tiny_data):
     # BASELINE config #5: SVGD particle ensemble on the GP posterior
     cfg = tiny_config("SVGD", lr=1e-4, num_chains=8, burn_in=3,

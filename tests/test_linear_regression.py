@@ -1,6 +1,7 @@
 """Bayesian linear regression toy: samplers vs the closed-form Gaussian
 posterior (the reference only eyeballs this, notebooks/jai/linear_reg.py)."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -27,6 +28,7 @@ def run(kernel, n_chains=16, num_samples=800, burn_in=300, key=5):
     return pos.reshape(-1, 2), exact, infos
 
 
+@pytest.mark.slow
 def test_mala_matches_exact_posterior():
     pot, exact = setup()
     kernel = samplers.mala(pot, step_size=2e-3)
@@ -39,6 +41,7 @@ def test_mala_matches_exact_posterior():
                                atol=5e-4)
 
 
+@pytest.mark.slow
 def test_mmala_softabs_matches_exact_posterior():
     pot, exact = setup()
     metric = samplers.softabs_metric(pot, softabs_coeff=1e4)

@@ -1,5 +1,6 @@
 """Model-layer gates: dynamics, GP kernel regression, MLP field, toys."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -53,6 +54,7 @@ def test_gradient_matching_init_approximates_field():
     assert corr > 0.75, corr
 
 
+@pytest.mark.slow
 def test_gp_potential_finite_and_prior_terms():
     data = make_dataset(jax.random.PRNGKey(3), "vdp", N=3, T=20, t_max=5.0)
     Z = kr.make_inducing_grid(data["Y"], M=4)

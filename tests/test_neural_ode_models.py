@@ -1,5 +1,6 @@
 """Neural-ODE example models: latent ODE VAE and ODEnet classifier."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -8,6 +9,7 @@ from bayesian_ode_tpu import odeint, odeint_adjoint
 from bayesian_ode_tpu.models import latent_ode, odenet, spiral
 
 
+@pytest.mark.slow
 def test_latent_ode_elbo_improves():
     orig, samp, orig_ts, samp_ts = latent_ode.generate_spiral2d(
         nspiral=32, ntotal=200, nsample=30, noise_std=0.3
@@ -46,6 +48,7 @@ def test_latent_ode_encode_shapes():
     assert mu.shape == (7, 4) and logvar.shape == (7, 4)
 
 
+@pytest.mark.slow
 def test_odenet_forward_and_training_step():
     params = odenet.init_params(jax.random.PRNGKey(0), dim=16)
     key = jax.random.PRNGKey(1)
@@ -106,6 +109,7 @@ def test_spiral_training_converges():
     assert float(val) < 0.5 * first, (first, float(val))
 
 
+@pytest.mark.slow
 def test_odenet_resnet_baseline():
     # the reference's --network resnet switch (odenet_mnist.py:300-304)
     params = odenet.init_params(jax.random.PRNGKey(0), dim=8,

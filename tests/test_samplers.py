@@ -321,6 +321,7 @@ def test_hamcmc_gaussian_moments(variant):
     check_moments(positions, mean_tol=0.25, cov_tol=0.5)
 
 
+@pytest.mark.slow
 def test_svgd_gaussian_particles():
     kernel = samplers.svgd(gauss_potential, step_size=0.3)
     key = jax.random.PRNGKey(42)
@@ -504,6 +505,7 @@ def test_svgd_batched_matches_svgd():
     assert np.all(np.isfinite(np.asarray(st.particles)))
 
 
+@pytest.mark.slow
 def test_svgd_adagrad_contracts_badly_scaled_target():
     # AdaGrad step control (Liu & Wang's recipe): on a potential whose
     # score scales differ by 1e4 across coordinates, a global step either
