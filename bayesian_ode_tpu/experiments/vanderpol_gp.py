@@ -41,32 +41,48 @@ def build_model(config: Dict, data: Dict):
     config["model"] == "nn" swaps the GP vector field for the MLP
     mean-function baseline (nn.ipynb cell 4; BASELINE config #3): uniform
     (-0.5, 0.5) init, SSE + L2 potential, no static kernel quantities.
+
+    config["solver"] picks the integrator (any odeint registry name;
+    default "rk4" = the reference's sampler configuration, gp.py:346).
+    Adaptive solvers ("dopri5"/"tsit5"/"adams") honor config rtol/atol
+    (defaults 1e-7/1e-9) and force Precision.HIGHEST on the GP RHS
+    matmuls (load-bearing: bf16 passes inflate adaptive NFE ~45x).
     """
     model = config.get("model", "gp")
     if model not in ("gp", "nn"):
         raise ValueError(f"unknown model {model!r}; expected 'gp' or 'nn'")
+    solver = config.get("solver", "rk4")
+    adaptive = solver in ("dopri5", "tsit5", "adams")
+    if adaptive:
+        rtol = config.get("rtol", 1e-7)
+        atol = config.get("atol", 1e-9)
+        solve = lambda f, x0, t: odeint_adjoint(f, x0, t, method=solver,
+                                                rtol=rtol, atol=atol)
+    else:
+        solve = lambda f, x0, t: odeint_adjoint(f, x0, t, method=solver)
     if model == "nn":
         from ..models import mlp
 
         H = config.get("hidden", 32)
         params0 = mlp.init_mlp(jax.random.PRNGKey(config.get("seed", 0)),
                                [2, H, H, 2])
-        solve = lambda f, x0, t: odeint_adjoint(f, x0, t, method="rk4")
         reg = config.get("reg", 0.5)
+        prec = jax.lax.Precision.HIGHEST if adaptive else None
         potential = mlp.make_potential(data["x0"], data["t"], data["Y"],
-                                       solve, reg=reg)
+                                       solve, reg=reg, precision=prec)
         sq_err = mlp.make_potential(data["x0"], data["t"], data["Y"],
-                                    solve, reg=reg, add_prior=False)
+                                    solve, reg=reg, add_prior=False,
+                                    precision=prec)
         return None, params0, potential, sq_err
     Z = kr.make_inducing_grid(data["Y"], M=config["M"])
     static = kr.make_static(Z, sf=config["sf"], ell=config["ell"])
     params0 = kr.init_params(data["Y"], data["t"], static,
                              noise=config.get("noise", data["noise"]))
-    solve = lambda f, x0, t: odeint_adjoint(f, x0, t, method="rk4")
+    prec = jax.lax.Precision.HIGHEST if adaptive else None
     potential = kr.make_potential(static, data["x0"], data["t"], data["Y"],
-                                  solve)
+                                  solve, precision=prec)
     sq_err = kr.make_potential(static, data["x0"], data["t"], data["Y"],
-                               solve, add_prior=False)
+                               solve, add_prior=False, precision=prec)
     return static, params0, potential, sq_err
 
 
@@ -145,7 +161,10 @@ def run_sampler(config: Dict, data: Dict, output: str,
     config["engine"] == "fused" runs SGLD/pSGLD/aSGHMC/MALA through the fused Pallas
     trajectory kernels (ops/gp_rk4.py for the GP field, ops/mlp_rk4.py for
     model="nn"; ~12x faster on TPU); chain counts are rounded up to a
-    multiple of 128 there.
+    multiple of 128 there.  With config["solver"] == "dopri5" the GP fused
+    engine integrates adaptively at config rtol/atol through the
+    differentiable whole-solve kernel (ops/gp_dopri5_grad.py) — the
+    BASELINE north-star configuration, end to end fused.
     """
     out_dir = _out_dir(output, config)
     with open(os.path.join(out_dir, "config.json"), "w") as f:
@@ -158,7 +177,16 @@ def run_sampler(config: Dict, data: Dict, output: str,
             "SGLD", "pSGLD", "aSGHMC", "MALA", "BAOAB"):
         f32 = jnp.float32
         n_chains = ((n_chains + 127) // 128) * 128
+        solver = config.get("solver", "rk4")
+        if solver not in ("rk4", "dopri5"):
+            raise ValueError(
+                f"engine='fused' supports solver 'rk4' or 'dopri5' "
+                f"(got {solver!r}); use the generic engine for others")
         if config.get("model", "gp") == "nn":
+            if solver != "rk4":
+                raise ValueError(
+                    "engine='fused' with model='nn' is rk4-only (no fused "
+                    "adaptive MLP kernel); drop engine='fused' for dopri5")
             from ..ops.mlp_rk4 import make_fused_mlp_potential
 
             pot_batch = make_fused_mlp_potential(
@@ -166,16 +194,28 @@ def run_sampler(config: Dict, data: Dict, output: str,
                 data["Y"].astype(f32), reg=config.get("reg", 0.5),
             )
         else:
-            from ..ops.gp_rk4 import make_fused_gp_potential
-
             static32 = static._replace(
                 Z=static.Z.astype(f32), KzzinvL=static.KzzinvL.astype(f32),
                 Kzzinv=static.Kzzinv.astype(f32),
             )
-            pot_batch = make_fused_gp_potential(
-                static32, data["x0"].astype(f32), data["t"].astype(f32),
-                data["Y"].astype(f32),
-            )
+            if solver == "dopri5":
+                from ..ops.gp_dopri5_grad import (
+                    make_fused_gp_potential_dopri5,
+                )
+
+                pot_batch = make_fused_gp_potential_dopri5(
+                    static32, data["x0"].astype(f32),
+                    data["t"].astype(f32), data["Y"].astype(f32),
+                    rtol=config.get("rtol", 1e-7),
+                    atol=config.get("atol", 1e-9),
+                )
+            else:
+                from ..ops.gp_rk4 import make_fused_gp_potential
+
+                pot_batch = make_fused_gp_potential(
+                    static32, data["x0"].astype(f32), data["t"].astype(f32),
+                    data["Y"].astype(f32),
+                )
         if config["method"] == "pSGLD":
             kernel = samplers.psgld_batched(pot_batch, _poly_sched(config),
                                             alpha=config["psgld_alpha"],

@@ -118,7 +118,8 @@ def vector_field_fast(A, static: GPVectorFieldStatic, t, X, precision=None):
 
 
 def make_potential(static: GPVectorFieldStatic, x0, t, Y,
-                   odeint_fn: Callable, add_prior: bool = True) -> Callable:
+                   odeint_fn: Callable, add_prior: bool = True,
+                   precision=None) -> Callable:
     """Negative log posterior of the GP-ODE model (gp.py:342-353):
 
         U(params) = sum (Y - x_ode)^2 / (2 exp(logsn)^2)
@@ -128,6 +129,11 @@ def make_potential(static: GPVectorFieldStatic, x0, t, Y,
     `odeint_fn(func, x0, t)` chooses solver and gradient engine (the
     reference uses rk4 + adjoint, gp.py:346).  With add_prior=False returns
     the plain sum of squared errors (monitoring variant).
+
+    `precision` sets the RHS matmul precision (see rbf()): pass
+    jax.lax.Precision.HIGHEST whenever odeint_fn is an ADAPTIVE solver —
+    bf16 matmul error inflates adaptive NFE ~45x on TPU; fixed-grid
+    solvers keep the fast default.
 
     Note: the trace prior applies Kzz^{-1} to the *whitened* U, replicating
     the reference (gp.py:350) for behavioral parity.
@@ -139,7 +145,8 @@ def make_potential(static: GPVectorFieldStatic, x0, t, Y,
     def potential(params):
         A = precompute_weights(params, static)
         xode = odeint_fn(
-            lambda tt, X: vector_field_fast(A, static, tt, X), x0, t
+            lambda tt, X: vector_field_fast(A, static, tt, X, precision),
+            x0, t
         )
         xode = jnp.moveaxis(xode, 0, 1)  # (T, N, 2) -> (N, T, 2)
         if not add_prior:

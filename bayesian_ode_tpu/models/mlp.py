@@ -28,13 +28,18 @@ def init_mlp(key, sizes: Sequence[int]):
     return params
 
 
-def mlp_vector_field(params, t, x):
-    """f(t, x) for x (..., D); ELU activations between layers."""
+def mlp_vector_field(params, t, x, precision=None):
+    """f(t, x) for x (..., D); ELU activations between layers.
+
+    `precision`: pass jax.lax.Precision.HIGHEST when integrating with an
+    ADAPTIVE solver on TPU (bf16 matmul passes make the error estimate
+    chase rounding noise; see kernel_regression.rbf)."""
     h = x
     for layer in params[:-1]:
-        h = jax.nn.elu(h @ layer["w"] + layer["b"])
+        h = jax.nn.elu(
+            jnp.matmul(h, layer["w"], precision=precision) + layer["b"])
     last = params[-1]
-    return h @ last["w"] + last["b"]
+    return jnp.matmul(h, last["w"], precision=precision) + last["b"]
 
 
 def curriculum_length(itr, total: int) -> jax.Array:
@@ -44,11 +49,13 @@ def curriculum_length(itr, total: int) -> jax.Array:
 
 
 def make_potential(x0, t, X, odeint_fn: Callable, reg: float = 0.5,
-                   add_prior: bool = True, horizon=None) -> Callable:
+                   add_prior: bool = True, horizon=None,
+                   precision=None) -> Callable:
     """SSE + L2 prior over MLP weights (nn.ipynb cell 6).
 
     `horizon`: optional static number of observation times to fit (the
     curriculum's T); None uses the full trajectory.  x0 (N, D), X (N, T, D).
+    `precision`: RHS matmul precision (HIGHEST for adaptive solvers).
     """
     X = jnp.asarray(X)
     T = X.shape[1] if horizon is None else int(horizon)
@@ -56,7 +63,9 @@ def make_potential(x0, t, X, odeint_fn: Callable, reg: float = 0.5,
     X_ = X[:, :T, :]
 
     def potential(params):
-        xode = odeint_fn(lambda tt, x: mlp_vector_field(params, tt, x), x0, t_)
+        xode = odeint_fn(
+            lambda tt, x: mlp_vector_field(params, tt, x, precision),
+            x0, t_)
         xode = jnp.moveaxis(xode, 0, 1)
         loss = jnp.sum((X_ - xode) ** 2)
         if add_prior:

@@ -148,6 +148,37 @@ def test_run_sampler_fused_engine_mala(tmp_path, tiny_data):
     assert 0.0 <= summary["acceptance"] <= 1.0
 
 
+def test_run_sampler_generic_dopri5(tmp_path, tiny_data):
+    # config["solver"] routes the generic engine through adaptive dopri5
+    # (HIGHEST-precision RHS; build_model docstring)
+    cfg = tiny_config("SGLD", solver="dopri5", rtol=1e-5, atol=1e-7)
+    summary = run_sampler(cfg, tiny_data, str(tmp_path), make_plots=False)
+    assert np.isfinite(summary["min_potential"])
+
+
+@pytest.mark.slow
+def test_run_sampler_fused_engine_dopri5(tmp_path, tiny_data):
+    # the BASELINE north-star configuration straight from the driver:
+    # pSGLD, adaptive dopri5, fused whole-solve fwd+bwd
+    cfg = tiny_config("pSGLD", engine="fused", solver="dopri5",
+                      num_chains=128, burn_in=2, num_samples=4,
+                      rtol=1e-5, atol=1e-7)
+    summary = run_sampler(cfg, tiny_data, str(tmp_path), make_plots=False)
+    assert np.isfinite(summary["min_potential"])
+    assert summary["num_chains"] == 128
+
+
+def test_fused_engine_rejects_unsupported_solver(tmp_path, tiny_data):
+    cfg = tiny_config("SGLD", engine="fused", solver="tsit5",
+                      num_chains=128)
+    with pytest.raises(ValueError, match="fused"):
+        run_sampler(cfg, tiny_data, str(tmp_path), make_plots=False)
+    cfg = tiny_config("SGLD", model="nn", hidden=8, engine="fused",
+                      solver="dopri5", num_chains=128)
+    with pytest.raises(ValueError, match="rk4-only"):
+        run_sampler(cfg, tiny_data, str(tmp_path), make_plots=False)
+
+
 @pytest.mark.slow
 def test_run_sampler_nn_fused_engine_asghmc(tmp_path, tiny_data):
     # the batched kernels compose with the MLP fused potential too
