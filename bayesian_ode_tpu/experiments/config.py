@@ -57,6 +57,11 @@ SENSIBLE_PARAMS: Dict[str, str] = {
     "history_size": "hist",
     "line_search": "line",
     "clip": "clip",
+    # engine/solver routing (this framework's additions: run_sampler
+    # dispatches engine="fused" and any odeint solver name per config)
+    "engine": "eng",
+    "solver": "sol",
+    "rtol": "rtol",
 }
 
 

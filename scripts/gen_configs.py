@@ -52,6 +52,14 @@ def main():
         defaults={"burn_in": 1000, "num_samples": 2000, "thinning": 50,
                   "engine": "fused", "num_chains": 1024},
     )
+    # the BASELINE north star: pSGLD at dopri5 rtol=1e-7, fused
+    # whole-solve fwd+bwd (ops/gp_dopri5_grad.py)
+    configs += expand_grid(
+        "pSGLD", {"M": [6], "lr0": [2e-3]},
+        defaults={"burn_in": 1000, "num_samples": 2000, "thinning": 50,
+                  "engine": "fused", "solver": "dopri5", "rtol": 1e-7,
+                  "atol": 1e-9, "num_chains": 1024, "lr_gamma": 0.0},
+    )
     configs += expand_grid(
         "Adadelta", {"M": [6], "lr": [1e-1, 1.0]}, inf_type="optim",
         defaults={"num_iters": 2000},
