@@ -7,11 +7,25 @@ from .chains import (  # noqa: F401
     svgd_step_sharded,
 )
 from .mesh import make_mesh, make_mesh_2d, replicated, shard_leading_axis  # noqa: F401
+from .runtime import (  # noqa: F401
+    Runtime,
+    coordinator_only,
+    global_mesh,
+    host_local_to_global,
+    init_runtime,
+    process_slice,
+)
 
 __all__ = [
+    "Runtime",
+    "coordinator_only",
+    "global_mesh",
     "gp_dopri5_solve_sharded",
+    "host_local_to_global",
+    "init_runtime",
     "make_mesh",
     "make_mesh_2d",
+    "process_slice",
     "replicated",
     "run_svgd_sharded",
     "sample_chain_sharded_batched",
