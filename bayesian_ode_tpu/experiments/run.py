@@ -6,10 +6,18 @@ toy_plots.py:405-417): a JSON config selected by integer id; the
 multiprocessing fan-out is replaced by vmapped chains inside the worker.
 Dataset regeneration replaces the reference's data pickle: the config's
 "data" block carries {ode, N, T, t_max, noise, seed}.
+
+`--id all` runs the WHOLE grid: every process of a multi-host launch
+(see parallel/runtime.py) takes its contiguous slice of the sorted config
+ids — the reference's `--array=1-81` SLURM fan-out
+(/root/reference/scripts/vanderpol/vanderpol_gp.slrm) collapsed into one
+SPMD command per host; single-host it simply runs all ids in sequence.
 """
 from __future__ import annotations
 
 import argparse
+import glob
+import os
 
 import jax
 
@@ -23,7 +31,9 @@ from .vanderpol_gp import worker
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--json-dir", required=True)
-    ap.add_argument("--id", type=int, required=True)
+    ap.add_argument("--id", required=True,
+                    help="integer config id, or 'all' for this process's "
+                         "slice of the whole grid (multi-host aware)")
     ap.add_argument("--experiment", default="vanderpol",
                     choices=["vanderpol", "toy"])
     ap.add_argument("--data-pickle", default=None,
@@ -34,7 +44,26 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     enable_persistent_cache()
-    blob = load_config(args.json_dir, args.id)
+    if args.id == "all":
+        from ..parallel import init_runtime, process_slice
+
+        rt = init_runtime()
+        ids = sorted(
+            int(os.path.splitext(os.path.basename(p))[0])
+            for p in glob.glob(os.path.join(args.json_dir, "*.json"))
+            if os.path.splitext(os.path.basename(p))[0].isdigit()
+        )
+        mine = ids[process_slice(len(ids), rt)]
+        print(f"[process {rt.process_index}/{rt.process_count}] "
+              f"config ids {mine}")
+        for rid in mine:
+            _run_one(args, rid)
+        return
+    _run_one(args, int(args.id))
+
+
+def _run_one(args, run_id: int):
+    blob = load_config(args.json_dir, run_id)
     output = blob["output"]
 
     if args.experiment == "toy":

@@ -5,6 +5,10 @@
 # vmapped on-chip, so the grid is a simple sequential (or per-host) loop;
 # under SLURM, submit this same command with --id $SLURM_ARRAY_TASK_ID.
 #
+# Multi-host pods: skip this script and run `... experiments.run
+# --json-dir JSON_DIR --id all` once per host — each process takes its
+# slice of the grid via parallel/runtime.py (jax.distributed).
+#
 # Usage: scripts/launch_grid.sh JSON_DIR [FIRST_ID LAST_ID]
 set -euo pipefail
 JSON_DIR=${1:?usage: launch_grid.sh JSON_DIR [FIRST_ID LAST_ID]}

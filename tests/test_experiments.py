@@ -242,3 +242,21 @@ def test_run_sampler_guard_finite_flag(tmp_path, tiny_data):
     pots = np.load(tmp_path / "SGLD" / "1" / "total_loss_arr.npy")
     assert np.isfinite(pots).all()
     assert np.isfinite(summary["min_potential"])
+
+
+def test_cli_id_all_runs_grid_slice(tmp_path):
+    """`--id all` runs every config id this process owns (single process:
+    the whole grid) — the one-command replacement for the reference's
+    SLURM `--array` fan-out (vanderpol_gp.slrm)."""
+    from bayesian_ode_tpu.experiments.run import main
+
+    configs = [tiny_config("SGLD", num_samples=6, num_chains=2),
+               tiny_config("pSGLD", num_samples=6, num_chains=2)]
+    n = write_configs(configs, str(tmp_path / "json"), str(tmp_path / "out"),
+                      data={"ode": "vdp", "N": 2, "T": 10, "t_max": 3.0,
+                            "noise": 0.1, "seed": 0})
+    assert n == 2
+    main(["--json-dir", str(tmp_path / "json"), "--id", "all", "--no-plots"])
+    for rid, method in ((1, "SGLD"), (2, "pSGLD")):
+        out = tmp_path / "out" / method / str(rid)
+        assert (out / "chain.npz").exists(), (rid, method)
