@@ -161,10 +161,11 @@ def run_sampler(config: Dict, data: Dict, output: str,
     config["engine"] == "fused" runs SGLD/pSGLD/aSGHMC/MALA through the fused Pallas
     trajectory kernels (ops/gp_rk4.py for the GP field, ops/mlp_rk4.py for
     model="nn"; ~12x faster on TPU); chain counts are rounded up to a
-    multiple of 128 there.  With config["solver"] == "dopri5" the GP fused
+    multiple of 128 there.  With config["solver"] == "dopri5" the fused
     engine integrates adaptively at config rtol/atol through the
-    differentiable whole-solve kernel (ops/gp_dopri5_grad.py) — the
-    BASELINE north-star configuration, end to end fused.
+    differentiable whole-solve kernels (ops/gp_dopri5_grad.py for the GP
+    field — the BASELINE north-star configuration — and ops/mlp_dopri5.py
+    for model="nn"), end to end fused.
     """
     out_dir = _out_dir(output, config)
     with open(os.path.join(out_dir, "config.json"), "w") as f:
@@ -183,16 +184,22 @@ def run_sampler(config: Dict, data: Dict, output: str,
                 f"engine='fused' supports solver 'rk4' or 'dopri5' "
                 f"(got {solver!r}); use the generic engine for others")
         if config.get("model", "gp") == "nn":
-            if solver != "rk4":
-                raise ValueError(
-                    "engine='fused' with model='nn' is rk4-only (no fused "
-                    "adaptive MLP kernel); drop engine='fused' for dopri5")
-            from ..ops.mlp_rk4 import make_fused_mlp_potential
+            if solver == "dopri5":
+                from ..ops.mlp_dopri5 import make_fused_mlp_potential_dopri5
 
-            pot_batch = make_fused_mlp_potential(
-                data["x0"].astype(f32), data["t"].astype(f32),
-                data["Y"].astype(f32), reg=config.get("reg", 0.5),
-            )
+                pot_batch = make_fused_mlp_potential_dopri5(
+                    data["x0"].astype(f32), data["t"].astype(f32),
+                    data["Y"].astype(f32), reg=config.get("reg", 0.5),
+                    rtol=config.get("rtol", 1e-7),
+                    atol=config.get("atol", 1e-9),
+                )
+            else:
+                from ..ops.mlp_rk4 import make_fused_mlp_potential
+
+                pot_batch = make_fused_mlp_potential(
+                    data["x0"].astype(f32), data["t"].astype(f32),
+                    data["Y"].astype(f32), reg=config.get("reg", 0.5),
+                )
         else:
             static32 = static._replace(
                 Z=static.Z.astype(f32), KzzinvL=static.KzzinvL.astype(f32),

@@ -269,6 +269,16 @@ def _pack_initial(A, x0, static, rtol, atol, C, N, RP, MP):
                           precision=jax.lax.Precision.HIGHEST)
 
     pts0 = x0b                                   # (C, N, 2)
+    f0, dt0 = _hairer_initial_step(rhs_ref, pts0, rtol, atol)
+
+    return (px, py, pack_points(f0[:, :, 0]), pack_points(f0[:, :, 1]),
+            dt0, consts, x0b)
+
+
+def _hairer_initial_step(rhs_ref, pts0, rtol, atol):
+    """Hairer-style first-step heuristic over batched (C, N, 2) states
+    (ode/step_control.initial_step semantics; shared with the MLP fused
+    solver).  Returns (f0 (C, N, 2), dt0 (1, C))."""
     f0 = rhs_ref(pts0)
     scale = atol + jnp.abs(pts0) * rtol
     d0 = jnp.sqrt(jnp.mean((pts0 / scale) ** 2, axis=(1, 2)))
@@ -282,10 +292,8 @@ def _pack_initial(A, x0, static, rtol, atol, C, N, RP, MP):
                    jnp.maximum(1e-6, h0 * 1e-3),
                    (0.01 / jnp.maximum(jnp.maximum(d1, d2), 1e-30))
                    ** (1.0 / 5.0))
-    dt0 = jnp.minimum(100 * h0, h1).astype(f32)[None, :]
-
-    return (px, py, pack_points(f0[:, :, 0]), pack_points(f0[:, :, 1]),
-            dt0, consts, x0b)
+    dt0 = jnp.minimum(100 * h0, h1).astype(jnp.float32)[None, :]
+    return f0, dt0
 
 
 def _make_whole_kernel(sf: float, ell: float, rtol: float, atol: float,

@@ -174,9 +174,21 @@ def test_fused_engine_rejects_unsupported_solver(tmp_path, tiny_data):
     with pytest.raises(ValueError, match="fused"):
         run_sampler(cfg, tiny_data, str(tmp_path), make_plots=False)
     cfg = tiny_config("SGLD", model="nn", hidden=8, engine="fused",
-                      solver="dopri5", num_chains=128)
-    with pytest.raises(ValueError, match="rk4-only"):
+                      solver="tsit5", num_chains=128)
+    with pytest.raises(ValueError, match="fused"):
         run_sampler(cfg, tiny_data, str(tmp_path), make_plots=False)
+
+
+@pytest.mark.slow
+def test_run_sampler_nn_fused_engine_dopri5(tmp_path, tiny_data):
+    # NN model at adaptive dopri5 tolerance through the fused
+    # differentiable whole-solve MLP kernel (ops/mlp_dopri5.py)
+    cfg = tiny_config("pSGLD", model="nn", hidden=8, lr0=1e-4,
+                      engine="fused", solver="dopri5", num_chains=128,
+                      burn_in=2, num_samples=4, rtol=1e-5, atol=1e-7)
+    summary = run_sampler(cfg, tiny_data, str(tmp_path), make_plots=False)
+    assert np.isfinite(summary["min_potential"])
+    assert summary["num_chains"] == 128
 
 
 @pytest.mark.slow

@@ -510,3 +510,82 @@ def test_gp_dopri5_grad_tile_walkdown_invariants():
                 assert (_bwd_stack_bytes(tb, N, T, M)
                         + 2 * _bwd_block_bytes(tb, N, T, S, SP, M, RP)
                         <= _BWD_VMEM_LIMIT)
+
+
+@pytest.mark.slow
+def test_mlp_dopri5_fused_matches_generic():
+    """Fused adaptive MLP kernel (ops/mlp_dopri5.py): forward parity with
+    the generic dopri5 integrator and gradient parity against the
+    float64 bounded-scan backprop (same protocol as the GP kernel's
+    test_gp_dopri5_fused_gradients_match_bounded)."""
+    from bayesian_ode_tpu import odeint
+    from bayesian_ode_tpu.models import mlp
+    from bayesian_ode_tpu.ops.mlp_dopri5 import (
+        make_fused_mlp_potential_dopri5,
+        mlp_dopri5_trajectory,
+    )
+
+    f32, f64 = jnp.float32, jnp.float64
+    H, N, T, C = 8, 3, 8, 4
+    rtol, atol = 1e-5, 1e-7
+    p1 = mlp.init_mlp(jax.random.PRNGKey(0), [2, H, H, 2])
+    params = jax.tree.map(
+        lambda x: (x[None] + 0.05 * jax.random.normal(
+            jax.random.PRNGKey(1), (C,) + x.shape)).astype(f32), p1)
+    x0 = jnp.asarray([[0.5, -0.5], [1.0, 0.3], [-0.8, 0.9]], f32)
+    ts = jnp.linspace(0.0, 2.0, T).astype(f32)
+
+    traj = mlp_dopri5_trajectory(params, x0, ts, rtol=rtol, atol=atol,
+                                 interpret=True)
+
+    def gen_traj(p, x0_, ts_):
+        def one(pc):
+            f = lambda tt, X: mlp.mlp_vector_field(
+                pc, tt, X, precision=jax.lax.Precision.HIGHEST)
+            return odeint(f, x0_, ts_, method="dopri5", rtol=rtol,
+                          atol=atol, options={"mode": "bounded"})
+        return jnp.moveaxis(jax.vmap(one)(p), 0, 1)
+
+    ref = gen_traj(params, x0, ts)
+    rel = float(jnp.max(jnp.abs(traj - ref)) / jnp.max(jnp.abs(ref)))
+    assert rel < 1e-4, rel
+
+    # gradient parity vs float64 ground truth
+    W = jax.random.normal(jax.random.PRNGKey(5), traj.shape, f64)
+    p64 = jax.tree.map(lambda x: x.astype(f64), params)
+    g_truth = jax.grad(lambda p: jnp.sum(
+        gen_traj(p, x0.astype(f64), ts.astype(f64)) * W))(p64)
+    g_gen32 = jax.grad(lambda p: jnp.sum(
+        gen_traj(p, x0, ts) * W.astype(f32)))(params)
+    g_fused = jax.grad(lambda p: jnp.sum(
+        mlp_dopri5_trajectory(p, x0, ts, rtol=rtol, atol=atol,
+                              interpret=True) * W.astype(f32)))(params)
+
+    t_flat = jnp.concatenate([x.ravel() for x in jax.tree.leaves(g_truth)])
+    f_flat = jnp.concatenate(
+        [x.ravel() for x in jax.tree.leaves(g_fused)]).astype(f64)
+    g_flat = jnp.concatenate(
+        [x.ravel() for x in jax.tree.leaves(g_gen32)]).astype(f64)
+    scale = float(jnp.max(jnp.abs(t_flat)))
+    err_fused = float(jnp.max(jnp.abs(f_flat - t_flat))) / scale
+    err_gen32 = float(jnp.max(jnp.abs(g_flat - t_flat))) / scale
+    # At this test's loose rtol=1e-5 the frozen-step-mesh adjoint term
+    # (O(rtol) relative; gp_dopri5_grad.py module docstring) dominates the
+    # f32 floor, so the fused error is bounded by a small multiple of rtol
+    # rather than by the generic-f32 noise (measured 2026-08-17: fused
+    # 1.4e-4 = 14x rtol, generic 4.4e-5 — under x64 the generic path's
+    # time/controller scalars run in f64, below a true-f32 floor).
+    assert err_fused < 50 * rtol, (err_fused, err_gen32)
+
+    # potential value parity vs models.mlp.make_potential at dopri5
+    Y = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(7), (N, T, 2))).astype(np.float32)
+    pot_f = make_fused_mlp_potential_dopri5(x0, ts, Y, reg=0.5, rtol=rtol,
+                                            atol=atol, interpret=True)
+    solve = lambda f, y0, tt: odeint(f, y0, tt, method="dopri5", rtol=rtol,
+                                     atol=atol)
+    pot_g = mlp.make_potential(x0, ts, jnp.asarray(Y), solve, reg=0.5,
+                               precision=jax.lax.Precision.HIGHEST)
+    vf = pot_f(params)
+    vg = jax.vmap(pot_g)(params)
+    np.testing.assert_allclose(np.asarray(vf), np.asarray(vg), rtol=2e-4)
