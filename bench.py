@@ -298,6 +298,50 @@ def fused_sgld_dopri5_effective_samples(data, static, params0, kr, n_chains,
     return sgld, psgld
 
 
+def fused_nn_dopri5_throughput(data, n_chains, rtol, atol, n_steps=100,
+                               H=8):
+    """NN (MLP mean-function) posterior at adaptive dopri5 tolerance,
+    fused end to end via ops/mlp_dopri5 — the engine combination round 2
+    added (the fused engine was rk4-only for model='nn' before).  Each
+    pSGLD step = one whole-solve adaptive forward + discrete-adjoint
+    backward.  store_steps=256: double the GP budget — the randomly
+    initialized MLP field's step counts are not pre-probed here (no
+    stats-only solve for this field), so the recording buffer gets twice
+    the measured-GP headroom instead.
+
+    Regime note: at initialization the MLP field is mild, so the adaptive
+    solver takes FAR fewer steps per solve than the GP posterior's NFE
+    312 (measured 3.9M steps/s at 10,112 chains, i.e. ~2.6 ms per fused
+    batched step).  The number measures the fused sampling loop in that
+    early-sampling regime; per-solve work grows as chains move toward
+    fields that actually fit the data."""
+    from bayesian_ode_tpu import samplers
+    from bayesian_ode_tpu.models import mlp
+    from bayesian_ode_tpu.ops.mlp_dopri5 import (
+        make_fused_mlp_potential_dopri5,
+    )
+
+    f32 = jnp.float32
+    C = ((n_chains + 127) // 128) * 128
+    p1 = mlp.init_mlp(jax.random.PRNGKey(0), [2, H, H, 2])
+    pos0 = jax.tree.map(
+        lambda x: (x[None] + 0.05 * jax.random.normal(
+            jax.random.PRNGKey(1), (C,) + x.shape)).astype(f32), p1)
+    pot = make_fused_mlp_potential_dopri5(
+        data["x0"].astype(f32), data["t"].astype(f32),
+        data["Y"].astype(f32), rtol=rtol, atol=atol, store_steps=256,
+        interpret=False)
+    kernel = samplers.psgld_batched(pot, 1e-5)
+    state = kernel.init(pos0)
+    run = jax.jit(lambda s, k: samplers.sample_chain(
+        kernel, s, k, num_samples=1, burn_in=n_steps - 1))
+    jax.block_until_ready(run(state, jax.random.PRNGKey(0)))
+    t0 = time.perf_counter()
+    jax.block_until_ready(run(state, jax.random.PRNGKey(9)))
+    dt = time.perf_counter() - t0
+    return C * n_steps / dt, dt, C
+
+
 def svgd_throughput(data, static, params0, kr, particle_counts, n_steps):
     """BASELINE.json configs[4]: SVGD particle ensembles on the GP
     mean-function ODE posterior.  Scores run through the fused rk4 batch
@@ -514,6 +558,18 @@ def main():
     except Exception as e:
         print(f"# sgld@dopri5 phase skipped: {e}", file=sys.stderr)
 
+    nn_d5_sps, nn_d5_C = 0.0, 0
+    if not args.quick:
+        try:
+            nn_d5_sps, nn_d5_dt, nn_d5_C = _retry(
+                fused_nn_dopri5_throughput, data, args.chains, args.rtol,
+                args.atol,
+            )
+            print(f"# nn@dopri5 (fused): {nn_d5_sps:.0f} steps/s at "
+                  f"{nn_d5_C} chains, {nn_d5_dt:.2f}s", file=sys.stderr)
+        except Exception as e:
+            print(f"# nn@dopri5 phase skipped: {e}", file=sys.stderr)
+
     svgd_results = []
     if not args.quick:
         try:
@@ -615,6 +671,10 @@ def main():
         "sgld_dopri5_effective_samples_per_sec": round(d5_eff, 2),
         "psgld_dopri5_steps_per_sec": round(d5p_sps, 1),
         "psgld_dopri5_effective_samples_per_sec": round(d5p_eff, 2),
+        # NN mean-function model at adaptive dopri5 tolerance, fused
+        # (ops/mlp_dopri5; each step = whole solve + discrete adjoint)
+        "nn_dopri5_steps_per_sec": round(nn_d5_sps, 1),
+        "nn_dopri5_chains": nn_d5_C,
         # BASELINE configs[4]: SVGD ensembles (fused batch potential;
         # the >=4096 entry exercises the Pallas RBF tile)
         "svgd": [
