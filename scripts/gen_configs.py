@@ -60,6 +60,15 @@ def main():
                   "engine": "fused", "solver": "dopri5", "rtol": 1e-7,
                   "atol": 1e-9, "num_chains": 1024, "lr_gamma": 0.0},
     )
+    # NN mean-function baseline at adaptive dopri5 tolerance, fused
+    # end to end (ops/mlp_dopri5.py; previously generic-engine only)
+    configs += expand_grid(
+        "pSGLD", {"lr0": [1e-4]},
+        defaults={"burn_in": 1000, "num_samples": 2000, "thinning": 50,
+                  "model": "nn", "hidden": 8, "engine": "fused",
+                  "solver": "dopri5", "rtol": 1e-7, "atol": 1e-9,
+                  "num_chains": 1024, "lr_gamma": 0.0},
+    )
     configs += expand_grid(
         "Adadelta", {"M": [6], "lr": [1e-1, 1.0]}, inf_type="optim",
         defaults={"num_iters": 2000},
