@@ -295,3 +295,42 @@ def test_sharded_solve_cache_content_keyed():
     A = (static2.KzzinvL @ p0["U"]).astype(jnp.float32)[None].repeat(C, 0)
     gp_dopri5_solve_sharded(A, x0, data["t"], static2, mesh, interpret=True)
     assert len(pchains._SHARDED_SOLVE_CACHE) == 2
+
+
+@needs_devices
+def test_mlp_dopri5_trajectory_under_shard_map():
+    # the fused adaptive MLP kernel (ops/mlp_dopri5.py) composes with
+    # chain-sharded shard_map — multi-chip path for the fused NN engine
+    from jax.sharding import PartitionSpec as P
+
+    from bayesian_ode_tpu.models import mlp
+    from bayesian_ode_tpu.ops.mlp_dopri5 import mlp_dopri5_trajectory
+
+    f32 = jnp.float32
+    H, N, T, C = 8, 3, 6, 8 * 128
+    p1 = mlp.init_mlp(jax.random.PRNGKey(0), [2, H, H, 2])
+    params = jax.tree.map(
+        lambda x: (x[None] + 0.02 * jax.random.normal(
+            jax.random.PRNGKey(1), (C,) + x.shape)).astype(f32), p1)
+    x0 = jnp.asarray([[0.5, -0.5], [1.0, 0.3], [-0.8, 0.9]], f32)
+    ts = jnp.linspace(0.0, 1.0, T).astype(f32)
+
+    mesh = make_mesh(8, axis="chain")
+    chain_spec = jax.tree.map(
+        lambda x: P(*(("chain",) + (None,) * (x.ndim - 1))), params)
+    fn = lambda p: mlp_dopri5_trajectory(p, x0, ts, rtol=1e-5, atol=1e-7,
+                                         tile=128, interpret=True)
+    sharded = jax.jit(jax.shard_map(
+        fn, mesh=mesh, in_specs=(chain_spec,),
+        out_specs=P(None, "chain", None, None), check_vma=False,
+    ))
+    out = sharded(params)
+    ref = fn(params)
+    # not bit-identical: the Hairer initial-step heuristic runs in XLA
+    # outside the kernel and its fusion/rounding differs between the
+    # per-shard (C=128) and global (C=1024) compilations, so dt0 (and
+    # hence the whole adaptive mesh) shifts by ~1 ulp — trajectory
+    # differences stay within solver-tolerance semantics (~1e-5 observed
+    # at rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
