@@ -158,7 +158,7 @@ def run_sampler(config: Dict, data: Dict, output: str,
                 make_plots: bool = True) -> Dict[str, Any]:
     """Posterior sampling (gp.py:290-507) over vmapped chains.
 
-    config["engine"] == "fused" runs SGLD/pSGLD/aSGHMC/MALA through the fused Pallas
+    config["engine"] == "fused" runs SGLD/cSGLD/pSGLD/aSGHMC/MALA/BAOAB through the fused Pallas
     trajectory kernels (ops/gp_rk4.py for the GP field, ops/mlp_rk4.py for
     model="nn"; ~12x faster on TPU); chain counts are rounded up to a
     multiple of 128 there.  With config["solver"] == "dopri5" the fused
@@ -175,7 +175,7 @@ def run_sampler(config: Dict, data: Dict, output: str,
     n_chains = config.get("num_chains", 64)
 
     if config.get("engine") == "fused" and config["method"] in (
-            "SGLD", "pSGLD", "aSGHMC", "MALA", "BAOAB"):
+            "SGLD", "cSGLD", "pSGLD", "aSGHMC", "MALA", "BAOAB"):
         f32 = jnp.float32
         n_chains = ((n_chains + 127) // 128) * 128
         solver = config.get("solver", "rk4")
@@ -234,6 +234,12 @@ def run_sampler(config: Dict, data: Dict, output: str,
                 lambda_=config["lambda_"])
         elif config["method"] == "MALA":
             kernel = samplers.mala_batched(pot_batch, config["lr"])
+        elif config["method"] == "cSGLD":
+            kernel = samplers.csgld_batched(
+                pot_batch, lr0=config["lr0"],
+                num_cycles=config.get("num_cycles", 4),
+                total_iters=config["burn_in"] + config["num_samples"],
+                beta=config.get("beta", 0.25))
         elif config["method"] == "BAOAB":
             kernel = samplers.baoab_batched(
                 pot_batch, config["lr"],

@@ -28,6 +28,7 @@ from .langevin import (  # noqa: F401
     adam_sgld,
     asgld,
     csgld,
+    csgld_batched,
     mala,
     mala_batched,
     mmala,
@@ -62,6 +63,7 @@ __all__ = [
     "baoab",
     "baoab_batched",
     "csgld",
+    "csgld_batched",
     "ess",
     "guard_finite",
     "guard_finite_batched",

@@ -349,6 +349,43 @@ def sgld_batched(potential_batch: Callable, step_size) -> TransitionKernel:
     return TransitionKernel(init, step)
 
 
+def csgld_batched(potential_batch: Callable, lr0: float, num_cycles: int,
+                  total_iters: int, beta: float = 0.25,
+                  add_noise: bool = True) -> TransitionKernel:
+    """Cyclical SGLD over an entire chain batch in one kernel step (the
+    fused-potential contract of `sgld_batched`; update rule and phase
+    gating of `csgld` / reference langevin.py:1600-1724): cosine step
+    size over `num_cycles` cycles, pure gradient steps in the
+    exploration phase (r <= beta), Langevin noise in the sampling phase.
+    info["sampling_phase"] marks posterior-sample steps.  `add_noise`
+    exists for deterministic equivalence tests only."""
+    value_and_grad = _batch_value_and_grad(potential_batch)
+    lr_fn = schedules.cyclical_cosine(lr0, num_cycles, total_iters)
+
+    def init(position):
+        u, g = value_and_grad(position)
+        return BatchLangevinState(position, u, g, jnp.asarray(0, jnp.int32))
+
+    def step(key, state):
+        lr = lr_fn(state.step)
+        r = schedules.cycle_position(state.step, num_cycles, total_iters)
+        in_sampling = r > beta
+
+        noise = tree_random_normal(key, state.position)
+        scale = jnp.where(in_sampling & add_noise,
+                          langevin_noise_scale(lr), 0.0)
+        new_pos = jax.tree.map(
+            lambda p, g, n: p - lr * g - scale * n,
+            state.position, state.grad, noise,
+        )
+        u, g = value_and_grad(new_pos)
+        info = {"potential": state.potential, "accepted": jnp.asarray(True),
+                "step_size": lr, "sampling_phase": in_sampling}
+        return BatchLangevinState(new_pos, u, g, state.step + 1), info
+
+    return TransitionKernel(init, step)
+
+
 class BatchPreconditionedState(NamedTuple):
     position: PyTree      # leaves carry a leading chain axis C
     potential: jax.Array  # (C,)
@@ -471,14 +508,16 @@ class CyclicalState(NamedTuple):
 
 
 def csgld(potential_fn: Callable, lr0: float, num_cycles: int,
-          total_iters: int, beta: float = 0.25) -> TransitionKernel:
+          total_iters: int, beta: float = 0.25,
+          add_noise: bool = True) -> TransitionKernel:
     """Cyclical SGLD (Zhang et al. 2020; reference langevin.py:1600-1724).
 
     Cosine step size over `num_cycles` cycles; exploration phase
     (r <= beta) takes pure gradient steps, sampling phase (r > beta) adds
     Langevin noise.  info["sampling_phase"] marks steps whose positions are
     posterior samples (the reference records None during exploration,
-    langevin.py:1702-1710 — with fixed shapes, mask instead).
+    langevin.py:1702-1710 — with fixed shapes, mask instead).  `add_noise`
+    exists for deterministic equivalence tests only.
     """
     value_and_grad = jax.value_and_grad(potential_fn)
     lr_fn = schedules.cyclical_cosine(lr0, num_cycles, total_iters)
@@ -495,7 +534,8 @@ def csgld(potential_fn: Callable, lr0: float, num_cycles: int,
         noise = tree_random_normal(key, state.position)
         new_pos = jax.tree.map(
             lambda p, g, n: p - lr * g
-            - jnp.where(in_sampling, langevin_noise_scale(lr), 0.0) * n,
+            - jnp.where(in_sampling & add_noise,
+                        langevin_noise_scale(lr), 0.0) * n,
             state.position, state.grad, noise,
         )
         u, g = value_and_grad(new_pos)

@@ -272,3 +272,13 @@ def test_cli_id_all_runs_grid_slice(tmp_path):
     for rid, method in ((1, "SGLD"), (2, "pSGLD")):
         out = tmp_path / "out" / method / str(rid)
         assert (out / "chain.npz").exists(), (rid, method)
+
+
+def test_run_sampler_fused_engine_csgld(tmp_path, tiny_data):
+    # cyclical SGLD through the fused batched kernel (csgld_batched)
+    cfg = tiny_config("cSGLD", engine="fused", num_chains=128,
+                      lr0=1e-5, num_cycles=2, burn_in=4, num_samples=8,
+                      thinning=2)
+    summary = run_sampler(cfg, tiny_data, str(tmp_path), make_plots=False)
+    assert np.isfinite(summary["min_potential"])
+    assert summary["num_chains"] == 128

@@ -534,3 +534,52 @@ def test_svgd_adagrad_contracts_badly_scaled_target():
                                atol=1e-8)
     assert np.all(np.isfinite(np.asarray(s1.particles)))
     assert float(i1["potential"]) < 0.5 * p0, (p0, float(i1["potential"]))
+
+
+def test_csgld_batched_matches_per_chain():
+    # Exploration-phase steps (r <= beta) are pure gradient descent, so
+    # with noise off the batched kernel must reproduce the vmapped
+    # per-chain csgld exactly; the full run must show both phases.
+    C, total = 8, 100
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (C, 2))
+    per_chain = samplers.csgld(gauss_potential, lr0=0.05, num_cycles=1,
+                               total_iters=total, beta=0.5,
+                               add_noise=False)
+    states = jax.vmap(per_chain.init)(x0)
+    _, pos_ref, _ = samplers.sample_chains(
+        per_chain, states, jax.random.split(jax.random.PRNGKey(1), C),
+        num_samples=40, burn_in=0,
+    )                                           # (C, samples, 2)
+
+    batched = samplers.csgld_batched(
+        jax.vmap(gauss_potential), lr0=0.05, num_cycles=1,
+        total_iters=total, beta=0.5, add_noise=False,
+    )
+    _, pos_b, infos = samplers.sample_chain(
+        batched, batched.init(x0), jax.random.PRNGKey(2), num_samples=40,
+        burn_in=0,
+    )                                           # (samples, C, 2)
+    # step 0 reads r = ((0-1) mod ceil)/ceil ~ 1 (the reference's 1-based
+    # step convention, schedules.cycle_position) so it is sampling-phase;
+    # steps 1..40 of a beta=0.5 single cycle are all exploration
+    phase0 = infos["sampling_phase"]
+    assert bool(phase0[0]) and not bool(jnp.any(phase0[1:]))
+    np.testing.assert_allclose(np.asarray(jnp.swapaxes(pos_b, 0, 1)),
+                               np.asarray(pos_ref), rtol=1e-6, atol=1e-6)
+
+    # full cyclical run: both phases occur, cosine restarts at cycle
+    # boundaries, and moments stay sane with noise on
+    batched_n = samplers.csgld_batched(
+        jax.vmap(gauss_potential), lr0=0.05, num_cycles=3,
+        total_iters=300, beta=0.25,
+    )
+    _, pos_n, infos_n = samplers.sample_chain(
+        batched_n, batched_n.init(x0), jax.random.PRNGKey(3),
+        num_samples=300, burn_in=0,
+    )
+    phase = infos_n["sampling_phase"]
+    assert bool(jnp.any(phase)) and bool(jnp.any(~phase))
+    lrs = infos_n["step_size"]
+    ceil = (300 + 3) // 3
+    assert float(lrs[1 + ceil]) > float(lrs[ceil - 1])
+    assert bool(jnp.all(jnp.isfinite(pos_n)))
