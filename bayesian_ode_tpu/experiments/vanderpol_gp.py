@@ -175,7 +175,7 @@ def run_sampler(config: Dict, data: Dict, output: str,
     n_chains = config.get("num_chains", 64)
 
     if config.get("engine") == "fused" and config["method"] in (
-            "SGLD", "cSGLD", "pSGLD", "aSGHMC", "MALA", "BAOAB"):
+            "SGLD", "cSGLD", "pSGLD", "aSGHMC", "acSGHMC", "MALA", "BAOAB"):
         f32 = jnp.float32
         n_chains = ((n_chains + 127) // 128) * 128
         solver = config.get("solver", "rk4")
@@ -234,6 +234,15 @@ def run_sampler(config: Dict, data: Dict, output: str,
                 lambda_=config["lambda_"])
         elif config["method"] == "MALA":
             kernel = samplers.mala_batched(pot_batch, config["lr"])
+        elif config["method"] == "acSGHMC":
+            kernel = samplers.acsghmc_batched(
+                pot_batch, lr0=config["lr0"],
+                num_cycles=config.get("num_cycles", 4),
+                total_iters=config["burn_in"] + config["num_samples"],
+                burn_in_steps=config["burn_in"],
+                beta=config.get("beta", 0.25),
+                mom_decay=config.get("mom_decay", 5e-2),
+                lambda_=config["lambda_"])
         elif config["method"] == "cSGLD":
             kernel = samplers.csgld_batched(
                 pot_batch, lr0=config["lr0"],

@@ -282,3 +282,13 @@ def test_run_sampler_fused_engine_csgld(tmp_path, tiny_data):
     summary = run_sampler(cfg, tiny_data, str(tmp_path), make_plots=False)
     assert np.isfinite(summary["min_potential"])
     assert summary["num_chains"] == 128
+
+
+def test_run_sampler_fused_engine_acsghmc(tmp_path, tiny_data):
+    # cyclical aSGHMC through the fused batched kernel (acsghmc_batched)
+    cfg = tiny_config("acSGHMC", engine="fused", num_chains=128,
+                      lr0=1e-5, num_cycles=2, burn_in=4, num_samples=8,
+                      thinning=2)
+    summary = run_sampler(cfg, tiny_data, str(tmp_path), make_plots=False)
+    assert np.isfinite(summary["min_potential"])
+    assert summary["num_chains"] == 128
