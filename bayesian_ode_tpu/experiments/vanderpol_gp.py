@@ -175,7 +175,8 @@ def run_sampler(config: Dict, data: Dict, output: str,
     n_chains = config.get("num_chains", 64)
 
     if config.get("engine") == "fused" and config["method"] in (
-            "SGLD", "cSGLD", "pSGLD", "aSGHMC", "acSGHMC", "MALA", "BAOAB"):
+            "SGLD", "cSGLD", "pSGLD", "AdamSGLD", "aSGHMC", "acSGHMC",
+            "MALA", "BAOAB"):
         f32 = jnp.float32
         n_chains = ((n_chains + 127) // 128) * 128
         solver = config.get("solver", "rk4")
@@ -234,6 +235,10 @@ def run_sampler(config: Dict, data: Dict, output: str,
                 lambda_=config["lambda_"])
         elif config["method"] == "MALA":
             kernel = samplers.mala_batched(pot_batch, config["lr"])
+        elif config["method"] == "AdamSGLD":
+            kernel = samplers.adam_sgld_batched(
+                pot_batch, _poly_sched(config),
+                a=config.get("adam_a", 1.0), lambda_=config["lambda_"])
         elif config["method"] == "acSGHMC":
             kernel = samplers.acsghmc_batched(
                 pot_batch, lr0=config["lr0"],

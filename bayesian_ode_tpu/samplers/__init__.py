@@ -26,6 +26,7 @@ from .hamiltonian import (  # noqa: F401
 )
 from .langevin import (  # noqa: F401
     adam_sgld,
+    adam_sgld_batched,
     asgld,
     csgld,
     csgld_batched,
@@ -57,6 +58,7 @@ __all__ = [
     "acsghmc",
     "acsghmc_batched",
     "adam_sgld",
+    "adam_sgld_batched",
     "asghmc",
     "asghmc_batched",
     "asgld",

@@ -467,8 +467,25 @@ def adam_sgld(potential_fn: Callable, step_size, beta1: float = 0.9,
         G = 1/(lambda + sqrt(V_hat))
         theta <- theta - lr*G*(g + a*m_hat) - sqrt(2*lr*G)*xi
     """
+    return _adam_sgld_kernel(jax.value_and_grad(potential_fn), step_size,
+                             beta1, beta2, a, lambda_)
+
+
+def adam_sgld_batched(potential_batch: Callable, step_size,
+                      beta1: float = 0.9, beta2: float = 0.999,
+                      a: float = 1.0, lambda_: float = 1e-8
+                      ) -> TransitionKernel:
+    """`adam_sgld` on the fused batch-potential contract (`sgld_batched`):
+    the Adam moments, bias corrections, drift, and noise scale are all
+    elementwise, so the batched update is the per-chain rule verbatim over
+    chain-major leaves with one fused forward+backward per step."""
+    return _adam_sgld_kernel(_batch_value_and_grad(potential_batch),
+                             step_size, beta1, beta2, a, lambda_)
+
+
+def _adam_sgld_kernel(value_and_grad, step_size, beta1, beta2, a, lambda_
+                      ) -> TransitionKernel:
     sched = schedules.resolve(step_size)
-    value_and_grad = jax.value_and_grad(potential_fn)
 
     def init(position):
         u, g = value_and_grad(position)
