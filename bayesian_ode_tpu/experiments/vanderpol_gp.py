@@ -176,7 +176,7 @@ def run_sampler(config: Dict, data: Dict, output: str,
 
     if config.get("engine") == "fused" and config["method"] in (
             "SGLD", "cSGLD", "pSGLD", "AdamSGLD", "aSGHMC", "acSGHMC",
-            "MALA", "BAOAB"):
+            "SGRHMC", "MALA", "BAOAB"):
         f32 = jnp.float32
         n_chains = ((n_chains + 127) // 128) * 128
         solver = config.get("solver", "rk4")
@@ -235,6 +235,11 @@ def run_sampler(config: Dict, data: Dict, output: str,
                 lambda_=config["lambda_"])
         elif config["method"] == "MALA":
             kernel = samplers.mala_batched(pot_batch, config["lr"])
+        elif config["method"] == "SGRHMC":
+            kernel = samplers.sgrhmc_batched(
+                pot_batch, _poly_sched(config),
+                friction=config.get("friction", 0.1),
+                lambda_=config["lambda_"])
         elif config["method"] == "AdamSGLD":
             kernel = samplers.adam_sgld_batched(
                 pot_batch, _poly_sched(config),

@@ -23,6 +23,7 @@ from .hamiltonian import (  # noqa: F401
     baoab,
     baoab_batched,
     sgrhmc,
+    sgrhmc_batched,
 )
 from .langevin import (  # noqa: F401
     adam_sgld,
@@ -87,6 +88,7 @@ __all__ = [
     "psgld_batched",
     "sgld_batched",
     "sgrhmc",
+    "sgrhmc_batched",
     "softabs_metric",
     "split_rhat",
     "svgd",

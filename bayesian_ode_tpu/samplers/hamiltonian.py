@@ -300,8 +300,24 @@ def sgrhmc(potential_fn: Callable, step_size, friction: float = 0.1,
 
     (the Gamma metric-derivative term is dropped, as pSGLD drops it).
     """
+    return _sgrhmc_kernel(jax.value_and_grad(potential_fn), step_size,
+                          friction, beta, lambda_)
+
+
+def sgrhmc_batched(potential_batch: Callable, step_size,
+                   friction: float = 0.1, beta: float = 0.99,
+                   lambda_: float = 1e-5) -> TransitionKernel:
+    """`sgrhmc` on the fused batch-potential contract (`sgld_batched`):
+    the RMSprop metric, momentum update, and position update are all
+    elementwise over chain-major leaves — one fused forward+backward per
+    step for the whole batch."""
+    return _sgrhmc_kernel(batch_value_and_grad(potential_batch),
+                          step_size, friction, beta, lambda_)
+
+
+def _sgrhmc_kernel(value_and_grad, step_size, friction, beta, lambda_
+                   ) -> TransitionKernel:
     sched = schedules.resolve(step_size)
-    value_and_grad = jax.value_and_grad(potential_fn)
 
     def init(position):
         u, g = value_and_grad(position)

@@ -300,3 +300,11 @@ def test_run_sampler_fused_engine_adam_sgld(tmp_path, tiny_data):
     summary = run_sampler(cfg, tiny_data, str(tmp_path), make_plots=False)
     assert np.isfinite(summary["min_potential"])
     assert summary["num_chains"] == 128
+
+
+def test_run_sampler_fused_engine_sgrhmc(tmp_path, tiny_data):
+    cfg = tiny_config("SGRHMC", engine="fused", num_chains=128,
+                      lr0=1e-5, burn_in=2, num_samples=4)
+    summary = run_sampler(cfg, tiny_data, str(tmp_path), make_plots=False)
+    assert np.isfinite(summary["min_potential"])
+    assert summary["num_chains"] == 128

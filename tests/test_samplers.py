@@ -605,3 +605,19 @@ def test_adam_sgld_batched_gaussian_moments():
     # (no Gamma correction, as intended by the reference) skews the
     # invariant measure at finite step size
     check_moments(jnp.swapaxes(pos, 0, 1), mean_tol=0.25, cov_tol=0.5)
+
+
+def test_sgrhmc_batched_gaussian_moments():
+    # SGRHMC on the fused batch contract: same gate as the per-chain test
+    C = 32
+    x0 = jax.random.normal(jax.random.PRNGKey(3), (C, 2))
+    batched = samplers.sgrhmc_batched(jax.vmap(gauss_potential), 0.05,
+                                      friction=0.3)
+    state = batched.init(x0)
+    assert state.potential.shape == (C,)
+    _, pos, infos = samplers.sample_chain(
+        batched, state, jax.random.PRNGKey(4), num_samples=2000,
+        burn_in=500,
+    )
+    assert infos["potential"].shape == (2000, C)
+    check_moments(jnp.swapaxes(pos, 0, 1), mean_tol=0.25, cov_tol=0.45)
