@@ -124,6 +124,7 @@ def make_sampler(config: Dict, potential: Callable):
                                 num_cycles=config.get("num_cycles", 4),
                                 total_iters=total,
                                 burn_in_steps=config["burn_in"],
+                                beta=config.get("beta", 0.25),
                                 mom_decay=config.get("mom_decay", 5e-2),
                                 lambda_=config["lambda_"])
     if method == "BAOAB":
@@ -188,11 +189,18 @@ def run_sampler(config: Dict, data: Dict, output: str,
             if solver == "dopri5":
                 from ..ops.mlp_dopri5 import make_fused_mlp_potential_dopri5
 
+                # store_steps=256 (2x the GP field's bench-measured need):
+                # MLP step counts grow as chains move toward data-fitting
+                # fields and are not pre-measured; exceeding the budget
+                # silently invalidates gradients (mlp_dopri5 docstring) —
+                # probe with ops.mlp_dopri5.mlp_dopri5_solve_stats when in
+                # doubt and override via config["store_steps"]
                 pot_batch = make_fused_mlp_potential_dopri5(
                     data["x0"].astype(f32), data["t"].astype(f32),
                     data["Y"].astype(f32), reg=config.get("reg", 0.5),
                     rtol=config.get("rtol", 1e-7),
                     atol=config.get("atol", 1e-9),
+                    store_steps=config.get("store_steps", 256),
                 )
             else:
                 from ..ops.mlp_rk4 import make_fused_mlp_potential

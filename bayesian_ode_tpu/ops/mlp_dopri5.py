@@ -324,8 +324,11 @@ def _fwd_tile_for(C_in, tile, H, N, TP, S, SP):
 
 
 def _bwd_stack_bytes(tile, H, N, TP, RP):
+    # per-point MLP temporaries (a1/h1/a2/h2 + h1b/a2b chains, ~6 H-row
+    # slots each) stay live across the UNROLLED N-point python loop in
+    # rhs_vjp, so the stack scales with N, not just RP
     W = _w_rows(H)
-    return tile * 4 * (6 * W + 40 * RP + 12 * TP + 40 * H)
+    return tile * 4 * (6 * W + 40 * RP + 12 * TP + 36 * H * max(N, 1))
 
 
 def _bwd_block_bytes(tile, H, N, TP, S, SP, RP):
@@ -475,7 +478,12 @@ def _bwd_rule(H, rtol, atol, safety, ifactor, dfactor, max_steps,
     TP = _pad8(T)
     S = store_steps
     C_in = g.shape[1]
-    tile_ = _bwd_tile_for(C, tile, H, N, TP, S, SP, RP)
+    # re-derive the FORWARD's 128-aligned tile first (gp_dopri5_grad.py's
+    # _bwd_rule does the same): walking down from the raw user tile could
+    # leave the 128 lattice and pick a backward tile that does not divide
+    # the padded C, silently skipping trailing chains in the grid
+    tile_f = _fwd_tile_for(C_in, tile, H, N, TP, S, SP)
+    tile_ = _bwd_tile_for(C, tile_f, H, N, TP, S, SP, RP)
 
     g = g.astype(f32)                              # (T, C_in, N, 2)
     g0 = g[0]                                      # (C_in, N, 2)
@@ -548,6 +556,26 @@ def mlp_dopri5_trajectory(params, x0, ts, rtol=1e-7, atol=1e-9,
                  float(safety), float(ifactor), float(dfactor),
                  int(max_steps), int(store_steps), controller, tile,
                  interpret)
+
+
+def mlp_dopri5_solve_stats(params, x0, ts, rtol=1e-7, atol=1e-9,
+                           safety=0.9, ifactor=10.0, dfactor=0.2,
+                           max_steps=100_000, store_steps=128,
+                           controller="i", tile=256, interpret=False):
+    """Forward solve returning (trajectory, stats) where stats carries the
+    per-tile lockstep iteration count `n_iterations` (C,) — the quantity
+    the `store_steps` gradient budget must cover.  Use it to size
+    `store_steps` before a long sampling run (the GP field has
+    `gp_dopri5_solve_whole`'s stats for this; the MLP field's step counts
+    are field-dependent and not pre-measured)."""
+    H = params[0]["w"].shape[-1]
+    packed = _pack_weights(params, params[0]["w"].shape[0], H)
+    ys, (packed_pad, stx, sty, nit, tsp) = _fwd_impl(
+        packed, x0, ts, H, float(rtol), float(atol), float(safety),
+        float(ifactor), float(dfactor), int(max_steps), int(store_steps),
+        controller, tile, interpret)
+    C_in = packed[0].shape[1]
+    return ys, {"n_iterations": nit[0, :C_in]}
 
 
 def make_fused_mlp_potential_dopri5(x0, ts, X, reg: float = 0.5,

@@ -71,7 +71,10 @@ def init_runtime(
         try:
             jax.distributed.initialize(**kwargs)
         except RuntimeError as e:  # pragma: no cover - double-init race
-            if "already" not in str(e).lower():
+            # jax 0.9 raises "distributed.initialize should only be
+            # called once."; older versions said "already initialized"
+            msg = str(e).lower()
+            if "once" not in msg and "already" not in msg:
                 raise
     elif want_multi and jax.process_count() == 1:  # pragma: no cover
         import warnings

@@ -321,12 +321,23 @@ def fused_nn_dopri5_throughput(data, n_chains, rtol, atol, n_steps=100,
         make_fused_mlp_potential_dopri5,
     )
 
+    from bayesian_ode_tpu.ops.mlp_dopri5 import mlp_dopri5_solve_stats
+
     f32 = jnp.float32
     C = ((n_chains + 127) // 128) * 128
     p1 = mlp.init_mlp(jax.random.PRNGKey(0), [2, H, H, 2])
     pos0 = jax.tree.map(
         lambda x: (x[None] + 0.05 * jax.random.normal(
             jax.random.PRNGKey(1), (C,) + x.shape)).astype(f32), p1)
+    # gradient-budget gate (the GP phase's analogue): worst-tile lockstep
+    # iterations at the start state must fit the recording buffer
+    _, st = mlp_dopri5_solve_stats(
+        pos0, data["x0"].astype(f32), data["t"].astype(f32), rtol=rtol,
+        atol=atol, store_steps=256)
+    max_it = int(jnp.max(st["n_iterations"]))
+    print(f"# nn@dopri5 step budget: max {max_it}/256", file=sys.stderr)
+    if max_it > 256:
+        raise RuntimeError(f"store_steps=256 < max {max_it}")
     pot = make_fused_mlp_potential_dopri5(
         data["x0"].astype(f32), data["t"].astype(f32),
         data["Y"].astype(f32), rtol=rtol, atol=atol, store_steps=256,

@@ -589,3 +589,42 @@ def test_mlp_dopri5_fused_matches_generic():
     vf = pot_f(params)
     vg = jax.vmap(pot_g)(params)
     np.testing.assert_allclose(np.asarray(vf), np.asarray(vg), rtol=2e-4)
+
+
+@pytest.mark.slow
+def test_mlp_dopri5_offgrid_tile_gradients():
+    """Regression: a user tile off the 128 lattice (e.g. 200) must not
+    skip trailing chains in the backward grid — gradients must match the
+    tile=128 result for every chain."""
+    from bayesian_ode_tpu.models import mlp
+    from bayesian_ode_tpu.ops.mlp_dopri5 import (
+        mlp_dopri5_solve_stats,
+        mlp_dopri5_trajectory,
+    )
+
+    f32 = jnp.float32
+    H, N, T, C = 8, 3, 6, 384
+    p1 = mlp.init_mlp(jax.random.PRNGKey(0), [2, H, H, 2])
+    params = jax.tree.map(
+        lambda x: (x[None] + 0.05 * jax.random.normal(
+            jax.random.PRNGKey(1), (C,) + x.shape)).astype(f32), p1)
+    x0 = jnp.asarray([[0.5, -0.5], [1.0, 0.3], [-0.8, 0.9]], f32)
+    ts = jnp.linspace(0.0, 1.0, T).astype(f32)
+    W = jax.random.normal(jax.random.PRNGKey(5), (T, C, N, 2), f32)
+
+    def loss(p, tile):
+        return jnp.sum(mlp_dopri5_trajectory(
+            p, x0, ts, rtol=1e-5, atol=1e-7, tile=tile, interpret=True) * W)
+
+    g128 = jax.grad(lambda p: loss(p, 128))(params)
+    g200 = jax.grad(lambda p: loss(p, 200))(params)
+    for a, b in zip(jax.tree.leaves(g128), jax.tree.leaves(g200)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    # stats helper: iteration counts are finite, positive, within budget
+    _, st = mlp_dopri5_solve_stats(params, x0, ts, rtol=1e-5, atol=1e-7,
+                                   interpret=True)
+    assert st["n_iterations"].shape == (C,)
+    assert int(jnp.max(st["n_iterations"])) <= 128
+    assert int(jnp.min(st["n_iterations"])) >= 1
