@@ -59,17 +59,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ode.tableaus import DOPRI5
-from .gp_dopri5 import (
-    _FAR,
-    _make_rhs,
-    _midpoint,
-    _pack_initial,
-    _pad8,
-    _quartic_coeffs,
-    _rk_stages,
-    _step_decision,
-)
+from .gp_dopri5 import _FAR, _make_rhs, _pack_initial, _pad8
 
 
 class _StaticLite(NamedTuple):
@@ -117,263 +107,40 @@ def _make_rhs_vjp(sf: float, ell: float, N: int, RP: int, ax, ay, zx, zy):
 
 def _make_fwd_rec_kernel(sf, ell, rtol, atol, safety, ifactor, dfactor,
                          N, RP, T, TP, max_steps, S, SP, controller):
-    """gp_dopri5._make_whole_kernel plus step-mesh recording (see module
-    docstring).  The integration arithmetic is the same shared helpers,
-    so trajectories match the non-recording kernel bit for bit."""
+    """gp_dopri5._make_whole_kernel plus step-mesh recording: the shared
+    recording body (ops/fused_adaptive.py) over the GP field.  The
+    integration arithmetic is the same shared helpers, so trajectories
+    match the non-recording kernel bit for bit."""
+    from .fused_adaptive import make_fwd_rec_kernel
 
-    def kernel(px_ref, py_ref, fx_ref, fy_ref, t1_ref, dt_ref,
-               ax_ref, ay_ref, zx_ref, zy_ref, ts_ref,
-               oxs_ref, oys_ref, onfe_ref, onacc_ref, onrej_ref, ot1_ref,
-               stx_ref, sty_ref, onit_ref):
-        tsv = ts_ref[:]
-        tf = tsv[T - 1 : T, :]
-        oxs_ref[:] = jnp.zeros(oxs_ref.shape, oxs_ref.dtype)
-        oys_ref[:] = jnp.zeros(oys_ref.shape, oys_ref.dtype)
-        # zero the record buffers: unreached rows must read take=0
-        stx_ref[:] = jnp.zeros(stx_ref.shape, stx_ref.dtype)
-        sty_ref[:] = jnp.zeros(sty_ref.shape, sty_ref.dtype)
-        rhs = _make_rhs(sf, ell, N, RP, ax_ref[:], ay_ref[:], zx_ref[:],
-                        zy_ref[:])
-        pi = controller == "pi"
+    def make_rhs(w):
+        ax, ay, zx, zy = w
+        return _make_rhs(sf, ell, N, RP, ax, ay, zx, zy)
 
-        def cond(carry):
-            (i, px, py, fx, fy, t1, dt, ep, nfe, nacc, nrej) = carry
-            return jnp.any((t1 < tf) & (nacc + nrej < max_steps))
-
-        def body(carry):
-            (i, px, py, fx, fy, t1, dt, ep, nfe, nacc, nrej) = carry
-            active = (t1 < tf) & (nacc + nrej < max_steps)
-
-            kx, ky, y1x, y1y, f1x, f1y = _rk_stages(rhs, px, py, fx, fy, dt)
-            accept, ratio, dt_next, ep_next = _step_decision(
-                kx, ky, px, py, y1x, y1y, dt, rtol, atol, safety, ifactor,
-                dfactor, N, RP, err_prev=ep if pi else None)
-            if ep_next is None:
-                ep_next = ep
-
-            take = active & accept
-            step_taken = active
-
-            # ---- record this iteration's step mesh (clamped on overflow:
-            # the trajectory stays exact, the gradient is then invalid —
-            # see module docstring) ----
-            row = jnp.minimum(i, S - 1) * SP
-            # zero-size pads crash Mosaic ("positive constant sizes"):
-            # only emit the filler rows when SP - 3 - N > 0
-            zpad = ([jnp.zeros((SP - 3 - N, px.shape[1]), px.dtype)]
-                    if SP - 3 - N > 0 else [])
-            stx_ref[pl.ds(row, SP), :] = jnp.concatenate(
-                [px[:N]] + zpad + [dt, t1, take.astype(px.dtype)], axis=0)
-            sty_ref[pl.ds(row, SP), :] = jnp.concatenate(
-                [py[:N]] + zpad + [jnp.zeros((3, px.shape[1]), px.dtype)],
-                axis=0)
-
-            emit = (tsv > t1) & (tsv <= t1 + dt) & take
-
-            @pl.when(jnp.any(emit))
-            def _():
-                midx = _midpoint(px, kx, dt)
-                midy = _midpoint(py, ky, dt)
-                cfs_x = _quartic_coeffs(px, y1x, midx, fx, f1x, dt)
-                cfs_y = _quartic_coeffs(py, y1y, midy, fy, f1y, dt)
-                X = (tsv - t1) / dt
-
-                def horner(cfs, n):
-                    a, b, c, d, e = (cf[n : n + 1, :] for cf in cfs)
-                    return (((a * X + b) * X + c) * X + d) * X + e
-
-                for n in range(N):
-                    blk = oxs_ref[pl.ds(n * TP, TP), :]
-                    oxs_ref[pl.ds(n * TP, TP), :] = jnp.where(
-                        emit, horner(cfs_x, n), blk)
-                    blk = oys_ref[pl.ds(n * TP, TP), :]
-                    oys_ref[pl.ds(n * TP, TP), :] = jnp.where(
-                        emit, horner(cfs_y, n), blk)
-
-            def sel(new, old):
-                return jnp.where(take, new, old)
-
-            fstep = step_taken.astype(jnp.float32)
-            facc = take.astype(jnp.float32)
-            return (
-                i + 1,
-                sel(y1x, px), sel(y1y, py), sel(f1x, fx), sel(f1y, fy),
-                sel(t1 + dt, t1),
-                jnp.where(step_taken, dt_next, dt),
-                jnp.where(step_taken, ep_next, ep),
-                nfe + 6.0 * fstep, nacc + facc, nrej + fstep - facc,
-            )
-
-        carry = (jnp.int32(0),
-                 px_ref[:], py_ref[:], fx_ref[:], fy_ref[:], t1_ref[:],
-                 dt_ref[:], jnp.ones_like(t1_ref[:]),
-                 jnp.full_like(t1_ref[:], 2.0),
-                 jnp.zeros_like(t1_ref[:]), jnp.zeros_like(t1_ref[:]))
-        (i, px, py, _, _, t1, _, _, nfe, nacc, nrej) = jax.lax.while_loop(
-            cond, body, carry)
-
-        rest = tsv > t1
-
-        @pl.when(jnp.any(rest))
-        def _():
-            for n in range(N):
-                blk = oxs_ref[pl.ds(n * TP, TP), :]
-                oxs_ref[pl.ds(n * TP, TP), :] = jnp.where(
-                    rest, px[n : n + 1, :], blk)
-                blk = oys_ref[pl.ds(n * TP, TP), :]
-                oys_ref[pl.ds(n * TP, TP), :] = jnp.where(
-                    rest, py[n : n + 1, :], blk)
-
-        onfe_ref[:] = nfe
-        onacc_ref[:] = nacc
-        onrej_ref[:] = nrej
-        ot1_ref[:] = t1
-        onit_ref[:] = jnp.full_like(t1, i.astype(jnp.float32))
-
-    return kernel
+    return make_fwd_rec_kernel(make_rhs, 4, rtol, atol, safety, ifactor,
+                               dfactor, N, RP, T, TP, max_steps, S, SP,
+                               controller)
 
 
 def _make_bwd_kernel(sf, ell, N, RP, T, TP, S, SP):
-    """Reverse sweep over the recorded step mesh (module docstring)."""
-    beta = [[float(b) for b in row] for row in DOPRI5.beta]
-    c_mid = [float(c) for c in DOPRI5.c_mid]
+    """Reverse sweep over the recorded step mesh: the shared replay body
+    (ops/fused_adaptive.py) over the GP field's hand-written VJP.  The
+    weight blocks are (ax, ay, zx, zy); only (ax, ay) receive cotangents
+    (zx/zy are the shared inducing grid)."""
+    from .fused_adaptive import make_bwd_kernel
 
-    def kernel(stx_ref, sty_ref, gx_ref, gy_ref, ax_ref, ay_ref,
-               zx_ref, zy_ref, ts_ref, nit_ref,
-               oabx_ref, oaby_ref, ox0x_ref, ox0y_ref):
-        ax, ay = ax_ref[:], ay_ref[:]
-        rhs = _make_rhs(sf, ell, N, RP, ax, ay, zx_ref[:], zy_ref[:])
-        rhs_vjp = _make_rhs_vjp(sf, ell, N, RP, ax, ay, zx_ref[:],
-                                zy_ref[:])
-        tsv = ts_ref[:]                              # (TP, 1)
-        C = ax.shape[1]
-        niter = jnp.minimum(jnp.max(nit_ref[:]).astype(jnp.int32), S)
+    def make_field_vjp(w):
+        ax, ay, zx, zy = w
+        rhs = _make_rhs(sf, ell, N, RP, ax, ay, zx, zy)
+        raw_vjp = _make_rhs_vjp(sf, ell, N, RP, ax, ay, zx, zy)
 
-        def body(j, carry):
-            lx, ly, abx, aby = carry
-            it = niter - 1 - j
-            bx = stx_ref[pl.ds(it * SP, SP), :]
-            by = sty_ref[pl.ds(it * SP, SP), :]
-            zrows = ([jnp.zeros((RP - N, C), jnp.float32)]
-                     if RP > N else [])
-            y0x = jnp.concatenate([bx[:N]] + zrows, 0)     # (RP, C)
-            y0y = jnp.concatenate([by[:N]] + zrows, 0)
-            dt = bx[SP - 3 : SP - 2, :]                    # (1, C)
-            t0 = bx[SP - 2 : SP - 1, :]
-            take = bx[SP - 1 : SP, :] > 0.5
-            dts = jnp.where(dt > 0, dt, 1.0)               # unwritten rows
+        def rhs_vjp(sx, sy, cx, cy, wbar):
+            ubx, uby, dax, day = raw_vjp(sx, sy, cx, cy)
+            return ubx, uby, (wbar[0] + dax, wbar[1] + day)
 
-            # ---- recompute stages, keeping the stage points ----
-            f0x, f0y = rhs(y0x, y0y)
-            kx, ky = [f0x], [f0y]
-            uxs, uys = [], []
-            for row in beta:
-                incx = sum(b * k for b, k in zip(row, kx) if b != 0.0)
-                incy = sum(b * k for b, k in zip(row, ky) if b != 0.0)
-                ux = y0x + dts * incx
-                uy = y0y + dts * incy
-                uxs.append(ux)
-                uys.append(uy)
-                fxi, fyi = rhs(ux, uy)
-                kx.append(fxi)
-                ky.append(fyi)
-            y1x, y1y = uxs[5], uys[5]                      # last stage point
+        return rhs, rhs_vjp
 
-            # ---- quartic dense-output VJP for the times this step emitted
-            # (transpose of the forward kernel's Horner evaluation +
-            # _quartic_coeffs linear map) ----
-            emit = (tsv > t0) & (tsv <= t0 + dt) & take    # (TP, C)
-            X1 = jnp.where(emit, (tsv - t0) / dts, 0.0)
-            X2 = X1 * X1
-            X3 = X2 * X1
-            X4 = X2 * X2
-
-            def quartic_bar(g_ref):
-                y0b, y1b, ymb, f0b, f1b = [], [], [], [], []
-                for n in range(N):
-                    w = jnp.where(emit, g_ref[pl.ds(n * TP, TP), :], 0.0)
-                    a = jnp.sum(w * X4, 0, keepdims=True)  # (1, C)
-                    b = jnp.sum(w * X3, 0, keepdims=True)
-                    c = jnp.sum(w * X2, 0, keepdims=True)
-                    d = jnp.sum(w * X1, 0, keepdims=True)
-                    e = jnp.sum(w, 0, keepdims=True)
-                    y0b.append(-8 * a + 18 * b - 11 * c + e)
-                    y1b.append(-8 * a + 14 * b - 5 * c)
-                    ymb.append(16 * a - 32 * b + 16 * c)
-                    f0b.append(dts * (-2 * a + 5 * b - 4 * c + d))
-                    f1b.append(dts * (2 * a - 3 * b + c))
-                pad = ([jnp.zeros((RP - N, C), jnp.float32)]
-                       if RP > N else [])
-                return tuple(jnp.concatenate(v + pad, 0)
-                             for v in (y0b, y1b, ymb, f0b, f1b))
-
-            y0bx, y1bx, ymbx, f0bx, f1bx = quartic_bar(gx_ref)
-            y0by, y1by, ymby, f0by, f1by = quartic_bar(gy_ref)
-
-            # y_mid = y0 + dt * (c_mid . k)
-            kbx = [dts * c * ymbx if c != 0.0 else jnp.zeros_like(ymbx)
-                   for c in c_mid]
-            kby = [dts * c * ymby if c != 0.0 else jnp.zeros_like(ymby)
-                   for c in c_mid]
-            y0bx = y0bx + ymbx
-            y0by = y0by + ymby
-
-            # k7 = f(y1): cotangent = carried-in f1_bar + c_mid share
-            abx_i = jnp.zeros_like(ax)
-            aby_i = jnp.zeros_like(ay)
-            ubx, uby, dax, day = rhs_vjp(y1x, y1y, kbx[6] + f1bx,
-                                         kby[6] + f1by)
-            abx_i += dax
-            aby_i += day
-            y1tx = lx + y1bx + ubx
-            y1ty = ly + y1by + uby
-
-            # y1 = y0 + dt * (beta[5] . k)
-            y0bx = y0bx + y1tx
-            y0by = y0by + y1ty
-            for jj, b in enumerate(beta[5]):
-                if b != 0.0:
-                    kbx[jj] = kbx[jj] + dts * b * y1tx
-                    kby[jj] = kby[jj] + dts * b * y1ty
-
-            # stages 6..2: k_{r+2} = f(u_{r+1}), u_{r+1} = y0 + dt beta[r].k
-            for r in range(4, -1, -1):
-                ubx, uby, dax, day = rhs_vjp(uxs[r], uys[r],
-                                             kbx[r + 1], kby[r + 1])
-                abx_i += dax
-                aby_i += day
-                y0bx = y0bx + ubx
-                y0by = y0by + uby
-                for jj, b in enumerate(beta[r]):
-                    if b != 0.0:
-                        kbx[jj] = kbx[jj] + dts * b * ubx
-                        kby[jj] = kby[jj] + dts * b * uby
-
-            # k1 = f(y0) (FSAL recomputed, so f0_bar lands here too)
-            ubx, uby, dax, day = rhs_vjp(y0x, y0y, kbx[0] + f0bx,
-                                         kby[0] + f0by)
-            abx_i += dax
-            aby_i += day
-            y0bx = y0bx + ubx
-            y0by = y0by + uby
-
-            # rejected / inactive rows: adjoint passes through untouched
-            lx = jnp.where(take, y0bx, lx)
-            ly = jnp.where(take, y0by, ly)
-            abx = abx + jnp.where(take, abx_i, 0.0)
-            aby = aby + jnp.where(take, aby_i, 0.0)
-            return lx, ly, abx, aby
-
-        z_rp = jnp.zeros((RP, C), jnp.float32)
-        z_mp = jnp.zeros_like(ax)
-        lx, ly, abx, aby = jax.lax.fori_loop(
-            0, niter, body, (z_rp, z_rp, z_mp, z_mp))
-        oabx_ref[:] = abx
-        oaby_ref[:] = aby
-        ox0x_ref[:] = lx
-        ox0y_ref[:] = ly
-
-    return kernel
+    return make_bwd_kernel(make_field_vjp, 4, 2, N, RP, T, TP, S, SP)
 
 
 def _tile_for(C_in, tile, N, TP, S, SP):
