@@ -7,6 +7,9 @@
   step mesh in-kernel; hand-written discrete-adjoint backward kernel)
 - gp_rk4: fused rk4 trajectory + hand-written backward (custom VJP)
 - mlp_rk4: the same for the MLP (neural-network) vector field
+- mlp_dopri5: differentiable whole-solve dopri5 for the MLP field
+- fused_adaptive: the shared recording/replay kernel bodies behind
+  gp_dopri5_grad and mlp_dopri5 (field-callback parameterized)
 """
 from .gp_dopri5 import gp_dopri5_solve, gp_dopri5_solve_whole  # noqa: F401
 from .gp_dopri5_grad import (  # noqa: F401
@@ -14,6 +17,11 @@ from .gp_dopri5_grad import (  # noqa: F401
     make_fused_gp_potential_dopri5,
 )
 from .gp_rk4 import gp_rk4_trajectory, make_fused_gp_potential  # noqa: F401
+from .mlp_dopri5 import (  # noqa: F401
+    make_fused_mlp_potential_dopri5,
+    mlp_dopri5_solve_stats,
+    mlp_dopri5_trajectory,
+)
 from .mlp_rk4 import make_fused_mlp_potential, mlp_rk4_trajectory  # noqa: F401
 from .pallas_rbf import svgd_phi_pallas, svgd_phi_reference  # noqa: F401
 
@@ -25,6 +33,9 @@ __all__ = [
     "make_fused_gp_potential",
     "make_fused_gp_potential_dopri5",
     "make_fused_mlp_potential",
+    "make_fused_mlp_potential_dopri5",
+    "mlp_dopri5_solve_stats",
+    "mlp_dopri5_trajectory",
     "mlp_rk4_trajectory",
     "svgd_phi_pallas",
     "svgd_phi_reference",
