@@ -334,3 +334,48 @@ def test_mlp_dopri5_trajectory_under_shard_map():
     # at rtol=1e-5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+@needs_devices
+def test_north_star_fused_dopri5_sampling_sharded():
+    """The literal north-star configuration, multi-chip: pSGLD whose
+    gradients flow through the DIFFERENTIABLE fused whole-solve dopri5
+    kernel (ops/gp_dopri5_grad), chains sharded over the mesh via
+    sample_chain_sharded_batched (Pallas fwd+bwd run per-device on local
+    shards, collective-free)."""
+    from bayesian_ode_tpu.models import kernel_regression as kr
+    from bayesian_ode_tpu.models import make_dataset
+    from bayesian_ode_tpu.ops.gp_dopri5_grad import (
+        make_fused_gp_potential_dopri5,
+    )
+    from bayesian_ode_tpu.parallel import sample_chain_sharded_batched
+
+    f32 = jnp.float32
+    data = make_dataset(jax.random.PRNGKey(0), "vdp", N=2, T=6, t_max=2.0,
+                        noise=0.1, x0_scale=1.5)
+    Z = kr.make_inducing_grid(data["Y"], M=3)
+    static = kr.make_static(Z, sf=1.0, ell=0.75)
+    static32 = static._replace(Z=static.Z.astype(f32),
+                               KzzinvL=static.KzzinvL.astype(f32),
+                               Kzzinv=static.Kzzinv.astype(f32))
+    p0 = kr.init_params(data["Y"], data["t"], static, noise=0.1)
+
+    mesh = make_mesh(8, axis="chain")
+    C = 8 * 128                             # tile-minimum per device shard
+    pos0 = {
+        "U": p0["U"].astype(f32)[None] + 0.01 * jax.random.normal(
+            jax.random.PRNGKey(1), (C, 9, 2), f32),
+        "logsn": jnp.broadcast_to(p0["logsn"].astype(f32), (C, 2)),
+    }
+    pot = make_fused_gp_potential_dopri5(
+        static32, data["x0"].astype(f32), data["t"].astype(f32),
+        data["Y"].astype(f32), rtol=1e-5, atol=1e-7, tile=128,
+        interpret=jax.devices()[0].platform == "cpu")
+    kernel = samplers.psgld_batched(pot, 1e-6)
+    positions, pots = sample_chain_sharded_batched(
+        kernel, pos0, jax.random.PRNGKey(2), num_samples=2, mesh=mesh,
+        burn_in=1,
+    )
+    assert pots.shape == (2, C)
+    assert np.isfinite(np.asarray(pots)).all()
+    assert np.isfinite(np.asarray(positions["U"])).all()
