@@ -129,16 +129,26 @@ def dopri5_forward_throughput(data, static, params0, kr, n_chains, rtol,
 
 
 def fused_dopri5_throughput(data, static, params0, kr, n_chains, rtol,
-                            atol):
+                            atol, depth=None):
     """The fused whole-solve Pallas kernel (ops/gp_dopri5.py): the entire
     adaptive integration runs inside one kernel per chain tile, with
     in-loop dense-output emission — no lockstep barrier at output
-    intervals (measured sustained: 1.34M solves/s at 10,240 chains vs
-    ~174k generic; the per-step fused kernel's lockstep barrier made it
-    ~26% slower than whole-solve even before pipelined timing)."""
+    intervals.
+
+    Queue depth (r2 measurement, 2026-08-17): the axon tunnel charges a
+    per-launch HOST dispatch cost that depth=8 only partly amortizes at
+    the 10k shape (1.29M solves/s at depth 8 vs 2.02M at 32, 2.22M at
+    64, 2.33M at 128 — converging on the device kernel time, whose
+    per-chain cost 0.43us matches the 164k-chain regime exactly; the
+    old '10k is latency-bound' reading was dispatch amortization, not
+    kernel behavior).  Default: depth 64 for shapes whose in-flight
+    outputs stay small, depth 8 above 64k chains (the (T,C,N,2) outputs
+    of 64 queued 164k-chain launches would exhaust HBM)."""
     from bayesian_ode_tpu.ops.gp_dopri5 import gp_dopri5_solve_whole
 
     C = ((n_chains + 127) // 128) * 128
+    if depth is None:
+        depth = 64 if C <= 65536 else 8
     A = (static.KzzinvL @ params0["U"]).astype(jnp.float32)[None] \
         + 0.01 * jax.random.normal(jax.random.PRNGKey(0), (C, 36, 2),
                                    jnp.float32)
@@ -147,7 +157,7 @@ def fused_dopri5_throughput(data, static, params0, kr, n_chains, rtol,
                                                    static, rtol=rtol,
                                                    atol=atol))
     ys, st = jax.block_until_ready(run(A))            # compile + warm
-    dt = _sustained(lambda: run(A), jax.block_until_ready)
+    dt = _sustained(lambda: run(A), jax.block_until_ready, depth=depth)
     spread = _LAST_SPREAD["rel"]
     total_evals = float(jnp.sum(st["nfe"]))
     return (total_evals / dt, dt, float(jnp.mean(st["nfe"])),
