@@ -102,8 +102,13 @@ def _sustained(launch, block, n=3, depth=8):
 
 
 def dopri5_forward_throughput(data, static, params0, kr, n_chains, rtol,
-                              atol):
-    """Total dopri5 RHS evals/sec across `n_chains` parallel solves."""
+                              atol, depth=None):
+    """Total dopri5 RHS evals/sec across `n_chains` parallel solves.
+
+    Same queue-depth policy as the fused phase (see
+    fused_dopri5_throughput) so the fused_speedup ratio compares
+    launches measured identically; per-launch dispatch is <5% of the
+    generic path's ~58 ms launch, so this barely moves its number."""
     from bayesian_ode_tpu import odeint_with_stats
 
     x0, t = data["x0"], data["t"]
@@ -122,8 +127,10 @@ def dopri5_forward_throughput(data, static, params0, kr, n_chains, rtol,
     Us = chain_params(params0, n_chains, jax.random.PRNGKey(0))["U"]
     run = jax.jit(jax.vmap(solve_one))
 
+    if depth is None:
+        depth = 64 if n_chains <= 65536 else 8
     nfe, ok = jax.block_until_ready(run(Us))          # compile + warm
-    dt = _sustained(lambda: run(Us), jax.block_until_ready)
+    dt = _sustained(lambda: run(Us), jax.block_until_ready, depth=depth)
     total_evals = float(jnp.sum(nfe))
     return total_evals / dt, dt, float(jnp.mean(nfe)), bool(jnp.all(ok))
 
