@@ -96,7 +96,7 @@ def _run_one(args, run_id: int):
             x0_scale=dspec.get("x0_scale", 1.5),
         )
     for cfg in blob["configs"]:
-        print(worker(cfg, data, output))
+        print(worker(cfg, data, output, make_plots=not args.no_plots))
 
 
 if __name__ == "__main__":

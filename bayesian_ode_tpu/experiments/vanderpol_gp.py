@@ -630,8 +630,9 @@ def _plots_optim(out_dir, config, data, static, params, losses):
     plt.close(fig)
 
 
-def worker(config: Dict, data: Dict, output: str) -> Dict[str, Any]:
+def worker(config: Dict, data: Dict, output: str,
+           make_plots: bool = True) -> Dict[str, Any]:
     """Route by inf_type (gp.py:510-527)."""
     if config.get("inf_type") == "optim":
-        return run_optim(config, data, output)
-    return run_sampler(config, data, output)
+        return run_optim(config, data, output, make_plots=make_plots)
+    return run_sampler(config, data, output, make_plots=make_plots)

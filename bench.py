@@ -13,6 +13,7 @@ SURVEY.md §2.9).  The reference publishes no numbers (BASELINE.md), so
 this measured single-chain-CPU rate stands in as the baseline.
 
 Usage: python bench.py [--chains 10000] [--samples 400] [--quick]
+                       [--phases peak,sgld,...] [--skip-baseline]
 """
 from __future__ import annotations
 
@@ -477,6 +478,14 @@ def sgld_effective_samples(data, static, params0, kr, n_chains, num_samples,
     return (ess0 + ess1) / 2.0 / dt, steps / dt, dt
 
 
+_OPTIONAL_PHASES = ("peak", "sgld", "sgld_dopri5", "nn_dopri5", "svgd",
+                    "psgld", "asghmc", "baseline")
+
+
+class _PhaseSkipped(Exception):
+    """Raised to drop an optional phase deselected via --phases."""
+
+
 def _retry(fn, *args, attempts=3, wait=120, **kw):
     """The TPU tunnel in this environment occasionally reports transient
     'TPU worker process crashed' / device errors under load; wait and
@@ -509,9 +518,24 @@ def main():
     ap.add_argument("--sgld-grad", default="fused",
                     choices=["fused", "discrete", "adjoint"])
     ap.add_argument("--skip-baseline", action="store_true")
+    # Subset the optional phases (the full run compiles ~9 fused kernels;
+    # CI lanes can keep only what they track).  The generic + fused
+    # forward phases always run: they produce the headline metric.
+    ap.add_argument("--phases", default=None, metavar="P1,P2,...",
+                    help="comma-separated subset of: "
+                         + ",".join(sorted(_OPTIONAL_PHASES))
+                         + " (default: all)")
     ap.add_argument("--_baseline-worker", action="store_true",
                     dest="baseline_worker", help=argparse.SUPPRESS)
     args = ap.parse_args()
+    if args.phases is None:
+        phases = set(_OPTIONAL_PHASES)
+    else:
+        phases = {p.strip() for p in args.phases.split(",") if p.strip()}
+        unknown = phases - set(_OPTIONAL_PHASES)
+        if unknown:
+            ap.error(f"unknown phases {sorted(unknown)}; choose from "
+                     f"{sorted(_OPTIONAL_PHASES)}")
     if args.baseline_worker:
         jax.config.update("jax_platforms", "cpu")
         data, static, params0, kr = build_problem()
@@ -555,7 +579,7 @@ def main():
     # north-star 10k shape (measured sustained 2.18M solves/s at 163,840
     # chains, 0.46us per adaptive rtol=1e-7 solve, vs 1.34M at 10k)
     peak_sps, peak_chains = 0.0, 0
-    if not args.quick:
+    if not args.quick and "peak" in phases:
         try:
             pe, p_dt, _, p_ok, p_C, _ = _retry(
                 fused_dopri5_throughput, data, static, params0, kr,
@@ -568,16 +592,21 @@ def main():
         except Exception as e:
             print(f"# peak phase skipped: {e}", file=sys.stderr)
 
-    eff_sps, sgld_sps, sgld_dt = _retry(
-        sgld_effective_samples, data, static, params0, kr, args.chains,
-        args.samples, args.burn_in, grad_engine=args.sgld_grad,
-    )
-    print(f"# sgld: {sgld_sps:.0f} steps/s, {sgld_dt:.2f}s", file=sys.stderr)
+    eff_sps, sgld_sps, sgld_dt = 0.0, 0.0, 0.0
+    if "sgld" in phases:
+        eff_sps, sgld_sps, sgld_dt = _retry(
+            sgld_effective_samples, data, static, params0, kr, args.chains,
+            args.samples, args.burn_in, grad_engine=args.sgld_grad,
+        )
+        print(f"# sgld: {sgld_sps:.0f} steps/s, {sgld_dt:.2f}s",
+              file=sys.stderr)
 
     # the literal north star: SGLD/pSGLD at dopri5 rtol=1e-7, fused fwd+bwd
     d5_eff, d5_sps, d5_dt = 0.0, 0.0, 0.0
     d5p_eff, d5p_sps = 0.0, 0.0
     try:
+        if "sgld_dopri5" not in phases:
+            raise _PhaseSkipped("--phases")
         (d5_eff, d5_sps, d5_dt, _), (d5p_eff, d5p_sps, _, _) = _retry(
             fused_sgld_dopri5_effective_samples, data, static, params0, kr,
             args.chains, args.samples, args.burn_in, args.rtol, args.atol,
@@ -590,7 +619,7 @@ def main():
         print(f"# sgld@dopri5 phase skipped: {e}", file=sys.stderr)
 
     nn_d5_sps, nn_d5_C = 0.0, 0
-    if not args.quick:
+    if not args.quick and "nn_dopri5" in phases:
         try:
             nn_d5_sps, nn_d5_dt, nn_d5_C = _retry(
                 fused_nn_dopri5_throughput, data, args.chains, args.rtol,
@@ -602,7 +631,7 @@ def main():
             print(f"# nn@dopri5 phase skipped: {e}", file=sys.stderr)
 
     svgd_results = []
-    if not args.quick:
+    if not args.quick and "svgd" in phases:
         try:
             svgd_results = _retry(
                 svgd_throughput, data, static, params0, kr,
@@ -615,12 +644,14 @@ def main():
         except Exception as e:
             print(f"# svgd phase skipped: {e}", file=sys.stderr)
 
-    p_eff, p_sps, p_dt, _ = _retry(
-        fused_psgld_effective_samples, data, static, params0, kr,
-        args.chains, args.samples, args.burn_in,
-    )
-    print(f"# psgld (fused): {p_sps:.0f} steps/s, {p_eff:.0f} ess/s, "
-          f"{p_dt:.2f}s", file=sys.stderr)
+    p_eff, p_sps, p_dt = 0.0, 0.0, 0.0
+    if "psgld" in phases:
+        p_eff, p_sps, p_dt, _ = _retry(
+            fused_psgld_effective_samples, data, static, params0, kr,
+            args.chains, args.samples, args.burn_in,
+        )
+        print(f"# psgld (fused): {p_sps:.0f} steps/s, {p_eff:.0f} ess/s, "
+              f"{p_dt:.2f}s", file=sys.stderr)
 
     # aSGHMC at lr=8e-3/c=0.05: the largest step whose STATIONARY moments
     # stay within ~0.9 sigma of the small-step limit (constant-lr pSGLD at
@@ -631,19 +662,21 @@ def main():
     # — rejected.
     # Momentum decorrelates ~1.5x faster than pSGLD's preconditioner per
     # wall-second at the same fused step rate.
-    h_eff, h_sps, h_dt, _ = _retry(
-        fused_asghmc_effective_samples, data, static, params0, kr,
-        args.chains, args.samples, args.burn_in,
-    )
-    print(f"# asghmc (fused): {h_sps:.0f} steps/s, {h_eff:.0f} ess/s, "
-          f"{h_dt:.2f}s", file=sys.stderr)
+    h_eff, h_sps, h_dt = 0.0, 0.0, 0.0
+    if "asghmc" in phases:
+        h_eff, h_sps, h_dt, _ = _retry(
+            fused_asghmc_effective_samples, data, static, params0, kr,
+            args.chains, args.samples, args.burn_in,
+        )
+        print(f"# asghmc (fused): {h_sps:.0f} steps/s, {h_eff:.0f} ess/s, "
+              f"{h_dt:.2f}s", file=sys.stderr)
 
     # Baseline: one chain on one CPU core (the reference's deployment
     # unit), measured in a subprocess with a forced-CPU jax backend
     # (initializing a second backend in-process hangs under this
     # environment's TPU platform plugin).
     vs_baseline = None
-    if not args.skip_baseline:
+    if not args.skip_baseline and "baseline" in phases:
         import os
         import subprocess
 

@@ -19,6 +19,11 @@ def main():
     ap.add_argument("--json-dir", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--ode", default="vdp", choices=["vdp", "fhn", "lv"])
+    ap.add_argument(
+        "--condor", metavar="FILE", default=None,
+        help="also write an HTCondor submit file queueing one job per "
+             "config (reference scripts/toy/gen_configs.py "
+             "CLUSTER_SCRIPT_TEMPLATE)")
     args = ap.parse_args()
 
     # The reference's active grids (gen_configs.py:65-70 shapes: M in
@@ -85,6 +90,33 @@ def main():
               "seed": 0},
     )
     print(f"wrote {n} configs to {args.json_dir}")
+
+    if args.condor:
+        import os
+
+        os.makedirs(os.path.join(args.json_dir, "condor"), exist_ok=True)
+        with open(args.condor, "w") as fh:
+            fh.write(_CONDOR_TEMPLATE.format(json_dir=args.json_dir, n=n))
+        print(f"wrote condor submit file {args.condor} ({n} jobs)")
+
+
+# HTCondor submit description, one job per config id (1-based; condor's
+# ProcId is 0-based).  Mirrors scripts/launch_grid.sub; the reference's
+# analogue is the CLUSTER_SCRIPT_TEMPLATE generator in
+# scripts/toy/gen_configs.py:46-55.
+_CONDOR_TEMPLATE = """\
+universe   = vanilla
+executable = /usr/bin/env
+arguments  = python -m bayesian_ode_tpu.experiments.run \
+--json-dir {json_dir} --id $$([ProcId + 1])
+getenv     = true
+error      = {json_dir}/condor/$(Cluster).$(Process).err
+output     = {json_dir}/condor/$(Cluster).$(Process).out
+log        = {json_dir}/condor/$(Cluster).log
+request_memory = 4GB
+request_cpus   = 1
+queue {n}
+"""
 
 
 if __name__ == "__main__":
