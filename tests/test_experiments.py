@@ -308,3 +308,50 @@ def test_run_sampler_fused_engine_sgrhmc(tmp_path, tiny_data):
     summary = run_sampler(cfg, tiny_data, str(tmp_path), make_plots=False)
     assert np.isfinite(summary["min_potential"])
     assert summary["num_chains"] == 128
+
+
+def test_worker_honors_make_plots_false(tmp_path, tiny_data):
+    # regression: --no-plots must reach the vanderpol worker (run.py
+    # previously only forwarded it on the toy path)
+    worker(tiny_config("SGLD"), tiny_data, str(tmp_path), make_plots=False)
+    assert list(tmp_path.rglob("*.pdf")) == []
+
+
+def _load_script(name):
+    import importlib.util
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(root, "scripts" if name == "gen_configs"
+                           else "examples", f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_gen_configs_condor_template(tmp_path):
+    # the emitted HTCondor submit file queues exactly one job per config
+    # (reference scripts/toy/gen_configs.py CLUSTER_SCRIPT_TEMPLATE)
+    gc = _load_script("gen_configs")
+    text = gc._CONDOR_TEMPLATE.format(json_dir="cfgs", n=81)
+    assert "queue 81" in text.splitlines()[-1] or text.rstrip().endswith(
+        "queue 81")
+    assert "--json-dir cfgs" in text
+    # ProcId is 0-based; ids are 1-based
+    assert "$$([ProcId + 1])" in text
+
+
+def test_make_digits_npz_layout(tmp_path):
+    # real handwritten-digit scans in the MNIST npz layout consumed by
+    # examples/odenet_mnist.py --mnist-npz
+    pytest.importorskip("sklearn")
+    mod = _load_script("make_digits_npz")
+    path = str(tmp_path / "digits.npz")
+    n = mod.make_digits_npz(path)
+    with np.load(path) as d:
+        x, y = d["x_train"], d["y_train"]
+    assert n == len(y) == len(x) == 1797
+    assert x.shape[1:] == (28, 28) and x.dtype == np.uint8
+    assert set(np.unique(y)) == set(range(10))
+    # the driver rescales by /255 into [0, 1]
+    assert x.max() > 200
