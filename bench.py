@@ -478,8 +478,102 @@ def sgld_effective_samples(data, static, params0, kr, n_chains, num_samples,
     return (ess0 + ess1) / 2.0 / dt, steps / dt, dt
 
 
+def hamcmc_effective_samples(data, static, params0, kr, n_chains,
+                             num_samples, burn_in, step_size=2e-4):
+    """BASELINE configs[3]: HAMCMC — L-BFGS-preconditioned Langevin with
+    the matrix-free square-root recursion and s^T y > eps s^T s pair
+    filtering (reference samplers/langevin.py:619-1107) — on the GP VDP
+    posterior.  Dense-metric samplers run on the vmapped generic
+    discrete-rk4 gradient engine by design (the fused kernels trade in
+    elementwise per-chain updates; HAMCMC's (K, P) ring buffers and
+    rank-one factor products are already MXU/VPU-friendly XLA code).
+    """
+    from bayesian_ode_tpu import odeint, samplers
+
+    solve = lambda f, x0, t: odeint(jax.checkpoint(f), x0, t, method="rk4")
+    potential = kr.make_potential(static, data["x0"], data["t"], data["Y"],
+                                  solve)
+    kernel = samplers.hamcmc(potential, step_size=step_size, memory=5,
+                             variant=1)
+    states = samplers.init_chains(kernel, jax.random.PRNGKey(11), params0,
+                                  n_chains, jitter=0.005)
+    keys = jax.random.split(jax.random.PRNGKey(13), n_chains)
+    run = jax.jit(
+        lambda s, k: samplers.sample_chains(kernel, s, k, num_samples,
+                                            burn_in)
+    )
+    _, pos, infos = jax.block_until_ready(run(states, keys))
+    t0 = time.perf_counter()
+    _, pos, infos = jax.block_until_ready(run(states, keys))
+    dt = time.perf_counter() - t0
+    ess0 = float(samplers.ess(pos["logsn"][:, :, 0]))
+    ess1 = float(samplers.ess(pos["logsn"][:, :, 1]))
+    steps = n_chains * (num_samples + burn_in)
+    n_pairs = float(jnp.mean(infos["n_pairs"][:, -1].astype(jnp.float32)))
+    return (ess0 + ess1) / 2.0 / dt, steps / dt, dt, n_pairs
+
+
+def spiral_adjoint_throughput(n_iters=100, data_size=1000, batch_time=10,
+                              batch_size=20, rtol=1e-7, atol=1e-9):
+    """BASELINE configs[1]: the ode_demo spiral neural-ODE fit — dopri5
+    forward + continuous-adjoint backward, RMSprop on random
+    sub-trajectory minibatches (reference neuralode_examples/
+    ode_demo.py:22-25, 44-49, 163-167).  Measures training iterations/s
+    with the whole loop as one lax.scan program, for both gradient
+    engines (continuous adjoint vs discrete backprop through the bounded
+    solver scan).  Adaptive-solver RHS matmuls run at HIGHEST precision
+    (bf16 passes inflate NFE ~45x; CLAUDE.md numerics record).
+    """
+    import optax
+
+    from bayesian_ode_tpu import odeint, odeint_adjoint
+    from bayesian_ode_tpu.models import spiral
+
+    with jax.default_matmul_precision("highest"):
+        t = jnp.linspace(0.0, 25.0, data_size)
+        true_y = odeint(spiral.true_field, spiral.TRUE_Y0, t,
+                        method="dopri5", rtol=rtol, atol=atol)
+        params = spiral.init_params(jax.random.PRNGKey(0))
+        tx = optax.rmsprop(1e-3)
+
+        def rates_for(solve):
+            def one(carry, key):
+                params, opt_state = carry
+                by0, bt, by = spiral.get_batch(key, true_y, t, batch_time,
+                                               batch_size)
+                loss = spiral.make_loss(solve, by0, bt, by)
+                val, g = jax.value_and_grad(loss)(params)
+                updates, opt_state = tx.update(g, opt_state, params)
+                return (optax.apply_updates(params, updates), opt_state), val
+
+            @jax.jit
+            def run(params, keys):
+                return jax.lax.scan(one, (params, tx.init(params)), keys)
+
+            keys = jax.random.split(jax.random.PRNGKey(7), n_iters)
+            (p, _), losses = jax.block_until_ready(run(params, keys))
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(params, keys))
+            dt = time.perf_counter() - t0
+            return n_iters / dt, float(losses[-1])
+
+        adj = lambda f, y0, tt: odeint_adjoint(f, y0, tt, rtol=rtol,
+                                               atol=atol, method="dopri5")
+        # bounded mode executes its full masked step budget; the default
+        # 256/interval would be ~60x padding on these short sub-trajectory
+        # intervals (~2-4 accepted steps each), so size the budget to the
+        # problem as a real training run would
+        disc = lambda f, y0, tt: odeint(f, y0, tt, rtol=rtol, atol=atol,
+                                        method="dopri5",
+                                        options={"mode": "bounded",
+                                                 "max_steps_per_interval": 32})
+        adj_ips, adj_loss = rates_for(adj)
+        disc_ips, disc_loss = rates_for(disc)
+    return adj_ips, disc_ips, adj_loss, disc_loss
+
+
 _OPTIONAL_PHASES = ("peak", "sgld", "sgld_dopri5", "nn_dopri5", "svgd",
-                    "psgld", "asghmc", "baseline")
+                    "psgld", "asghmc", "hamcmc", "spiral", "baseline")
 
 
 class _PhaseSkipped(Exception):
@@ -671,6 +765,35 @@ def main():
         print(f"# asghmc (fused): {h_sps:.0f} steps/s, {h_eff:.0f} ess/s, "
               f"{h_dt:.2f}s", file=sys.stderr)
 
+    # BASELINE configs[3]: HAMCMC on the vmapped generic engine.  Fewer
+    # chains than the fused phases: each step is a full generic rk4
+    # solve fwd+bwd plus the L-BFGS factor recursion, and the dense-metric
+    # samplers deliberately stay off the elementwise fused contract.
+    hm_eff, hm_sps, hm_dt, hm_pairs = 0.0, 0.0, 0.0, 0.0
+    hm_chains = min(args.chains, 2048)
+    if "hamcmc" in phases:
+        try:
+            hm_eff, hm_sps, hm_dt, hm_pairs = _retry(
+                hamcmc_effective_samples, data, static, params0, kr,
+                hm_chains, args.samples, args.burn_in,
+            )
+            print(f"# hamcmc (generic, {hm_chains} chains): {hm_sps:.0f} "
+                  f"steps/s, {hm_eff:.0f} ess/s, {hm_pairs:.1f} mean pairs, "
+                  f"{hm_dt:.2f}s", file=sys.stderr)
+        except Exception as e:
+            print(f"# hamcmc phase skipped: {e}", file=sys.stderr)
+
+    # BASELINE configs[1]: spiral neural-ODE training iterations/s
+    sp_adj, sp_disc = 0.0, 0.0
+    if not args.quick and "spiral" in phases:
+        try:
+            sp_adj, sp_disc, sp_al, sp_dl = _retry(spiral_adjoint_throughput)
+            print(f"# spiral dopri5: {sp_adj:.1f} iters/s adjoint "
+                  f"(loss {sp_al:.3f}), {sp_disc:.1f} iters/s discrete "
+                  f"(loss {sp_dl:.3f})", file=sys.stderr)
+        except Exception as e:
+            print(f"# spiral phase skipped: {e}", file=sys.stderr)
+
     # Baseline: one chain on one CPU core (the reference's deployment
     # unit), measured in a subprocess with a forced-CPU jax backend
     # (initializing a second backend in-process hangs under this
@@ -747,6 +870,14 @@ def main():
              "phi_rms": round(r["phi_rms"], 6)}
             for r in svgd_results
         ],
+        # BASELINE configs[3]: HAMCMC (vmapped generic engine)
+        "hamcmc_steps_per_sec": round(hm_sps, 1),
+        "hamcmc_effective_samples_per_sec": round(hm_eff, 2),
+        "hamcmc_chains": hm_chains if hm_sps else 0,
+        # BASELINE configs[1]: spiral neural-ODE training iterations/s
+        # (dopri5 rtol=1e-7; adjoint = the reference's --adjoint engine)
+        "spiral_adjoint_iters_per_sec": round(sp_adj, 2),
+        "spiral_discrete_iters_per_sec": round(sp_disc, 2),
         # (max-min)/best over the best-of-3 sustained repeats of the
         # headline phase: round-over-round deltas inside this band are
         # axon host-sync noise, not regressions

@@ -1,0 +1,35 @@
+"""Smoke tests for bench.py phase functions at tiny shapes.
+
+bench.py is the driver-run benchmark (one process per round on the real
+chip); these gates keep its phase functions importable and runnable on
+the CPU backend so a bench-side regression surfaces in CI instead of at
+the end of a round.  Throughput values are not asserted — only that the
+phases complete and produce finite, internally consistent results.
+"""
+import numpy as np
+import pytest
+
+bench = pytest.importorskip("bench")
+
+
+@pytest.mark.slow
+def test_hamcmc_phase_smoke():
+    # BASELINE configs[3]: HAMCMC on the GP VDP posterior, vmapped chains
+    data, static, params0, kr = bench.build_problem()
+    eff, sps, dt, pairs = bench.hamcmc_effective_samples(
+        data, static, params0, kr, n_chains=8, num_samples=6, burn_in=6
+    )
+    assert sps > 0 and dt > 0
+    assert np.isfinite(eff)
+    assert 0 <= pairs <= 5  # memory=5 -> at most 5 curvature pairs
+
+
+@pytest.mark.slow
+def test_spiral_phase_smoke():
+    # BASELINE configs[1]: spiral neural-ODE fit, dopri5 + adjoint
+    adj, disc, adj_loss, disc_loss = bench.spiral_adjoint_throughput(
+        n_iters=3, data_size=64, batch_time=5, batch_size=4
+    )
+    assert adj > 0 and disc > 0
+    # the two gradient engines take the same training trajectory
+    np.testing.assert_allclose(adj_loss, disc_loss, rtol=1e-3, atol=1e-4)
