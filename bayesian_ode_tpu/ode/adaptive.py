@@ -68,6 +68,16 @@ class AdaptiveConfig:
     # fewer rejections / lower NFE at the same accuracy, but step
     # decisions no longer match torchdiffeq.
     controller: str = "i"
+    # Implicit (DIRK) solvers only: simplified-Newton iteration budget per
+    # stage and the relative convergence threshold (Hairer & Wanner IV.8
+    # recommend kappa in [1e-2, 1e-1]).  Ignored by explicit methods.
+    newton_iters: int = 6
+    newton_kappa: float = 0.1
+    # Implicit solvers only: embedded error estimate treatment — "raw"
+    # (default; sees Prothero-Robinson order reduction) or "shampine"
+    # (M^{-1}-filtered; calmer on strong transients but blind to
+    # quasi-static error at lam*h >> 1 — measurements in ode/dirk.py).
+    error_filter: str = "raw"
 
 
 # ---------------------------------------------------------------------------
@@ -121,9 +131,41 @@ def _stages_interp_eval(coeff, t0, t1, t):
     )
 
 
+def _hermite_interp_init(y0, f0):
+    z = jax.tree.map(jnp.zeros_like, y0)
+    return (y0, y0, z, z)
+
+
+def _hermite_interp_fit(tableau, y0, y1, k, dt):
+    # cubic Hermite from the interval endpoints; k[0]/k[-1] are the
+    # endpoint slopes (both available for the stiffly accurate DIRK
+    # methods: f(t1, y1) is the last stage derivative)
+    d0 = jax.tree.map(lambda f: jnp.asarray(dt).astype(f.dtype) * f, k[0])
+    d1 = jax.tree.map(lambda f: jnp.asarray(dt).astype(f.dtype) * f, k[-1])
+    return (y0, y1, d0, d1)
+
+
+def _hermite_interp_eval(coeff, t0, t1, t):
+    y0, y1, d0, d1 = coeff
+    denom = jnp.where(t1 == t0, jnp.ones_like(t1), t1 - t0)
+    th = jnp.where(t1 == t0, jnp.zeros_like(t), (t - t0) / denom)
+    h00 = (1 + 2 * th) * (1 - th) ** 2
+    h10 = th * (1 - th) ** 2
+    h01 = th**2 * (3 - 2 * th)
+    h11 = th**2 * (th - 1)
+    return jax.tree.map(
+        lambda a, b, da, db: h00.astype(a.dtype) * a
+        + h10.astype(a.dtype) * da
+        + h01.astype(a.dtype) * b
+        + h11.astype(a.dtype) * db,
+        y0, y1, d0, d1,
+    )
+
+
 _INTERP = {
     "quartic": (_quartic_interp_init, _quartic_interp_fit, _quartic_interp_eval),
     "stages": (_stages_interp_init, _stages_interp_fit, _stages_interp_eval),
+    "hermite": (_hermite_interp_init, _hermite_interp_fit, _hermite_interp_eval),
 }
 
 
@@ -197,12 +239,17 @@ def adaptive_step(func: Callable, state: AdaptiveState, tableau: ButcherTableau,
 
 
 def integrate_adaptive(func: Callable, y0: PyTree, ts: jax.Array,
-                       tableau: ButcherTableau, interp_kind: str,
-                       cfg: AdaptiveConfig):
+                       tableau, interp_kind: str,
+                       cfg: AdaptiveConfig,
+                       step_impl: Callable = adaptive_step):
     """Integrate y' = func(t, y) emitting the solution at each time in `ts`.
 
     Returns (ys, stats) where ys stacks the solution along a new leading
     axis (ys[0] == y0) and stats carries NFE / step counts.
+
+    `step_impl(func, state, tableau, interp_kind, cfg) -> state` selects
+    the stepping engine: `adaptive_step` (explicit RK, the default) or
+    `dirk.dirk_step` (implicit, with a DIRKTableau).
     """
     init_interp, _, evaluate = _INTERP[interp_kind]
 
@@ -231,7 +278,18 @@ def integrate_adaptive(func: Callable, y0: PyTree, ts: jax.Array,
     )
 
     def step_fn(s):
-        return adaptive_step(func, s, tableau, interp_kind, cfg)
+        return step_impl(func, s, tableau, interp_kind, cfg)
+
+    def _can_step(s):
+        # Divergence guard: once the state/error goes non-finite every
+        # step rejects, dt decays geometrically to NaN or exactly 0, and
+        # no further iteration can make progress — without this guard a
+        # diverged f32 solve spins out the full 2^20-step budget (for the
+        # implicit solvers that is 2^20 LU factorizations; long enough
+        # that the TPU runtime watchdog declares the worker dead).
+        # reached_final_time=False reports the abort, as for budget
+        # exhaustion.
+        return jnp.isfinite(s.dt) & (s.dt > 0)
 
     if cfg.mode == "while":
         # Single while loop over solver steps; each accepted step emits
@@ -248,7 +306,7 @@ def integrate_adaptive(func: Callable, y0: PyTree, ts: jax.Array,
         def cond(carry):
             s, idx, _ = carry
             budget = (s.n_accepted + s.n_rejected) < cfg.max_num_steps
-            return (idx < T) & budget
+            return (idx < T) & budget & _can_step(s)
 
         def body(carry):
             s, idx, out = carry
@@ -286,12 +344,13 @@ def integrate_adaptive(func: Callable, y0: PyTree, ts: jax.Array,
             def cond(s):
                 in_flight = s.t1 < next_t
                 budget = (s.n_accepted + s.n_rejected) < cfg.max_num_steps
-                return in_flight & budget
+                return in_flight & budget & _can_step(s)
 
             state = jax.lax.while_loop(cond, step_fn, state)
         elif cfg.mode == "bounded":
             def body(s, _):
-                s = jax.lax.cond(s.t1 < next_t, step_fn, lambda s_: s_, s)
+                s = jax.lax.cond((s.t1 < next_t) & _can_step(s), step_fn,
+                                 lambda s_: s_, s)
                 return s, None
 
             state, _ = jax.lax.scan(

@@ -31,6 +31,7 @@ from .tableaus import DOPRI5, TSIT5
 _ADAPTIVE_OPTION_KEYS = (
     "first_step", "safety", "ifactor", "dfactor", "max_num_steps", "mode",
     "max_steps_per_interval", "compensated", "ulp_floor", "controller",
+    "newton_iters", "newton_kappa", "error_filter",
 )
 
 
@@ -42,6 +43,31 @@ def _solve_adaptive(tableau, interp_kind):
             **{k: options[k] for k in _ADAPTIVE_OPTION_KEYS if k in options},
         )
         return integrate_adaptive(func, y0, ts, tableau, interp_kind, cfg)
+
+    return solve
+
+
+def _solve_dirk(method):
+    """Stiff (implicit) solvers — beyond reference parity; see ode/dirk.py."""
+
+    def solve(func, y0, ts, rtol, atol, options):
+        from .dirk import DIRK_TABLEAUS, dirk_step
+
+        cfg = AdaptiveConfig(
+            rtol=rtol,
+            atol=atol,
+            **{k: options[k] for k in _ADAPTIVE_OPTION_KEYS if k in options},
+        )
+        if cfg.compensated:
+            raise ValueError(
+                "options={'compensated': True} is not supported by the "
+                "implicit (DIRK) methods: y1 comes from Newton stage "
+                "solves, not an explicit increment commit"
+            )
+        return integrate_adaptive(
+            func, y0, ts, DIRK_TABLEAUS[method], "hermite", cfg,
+            step_impl=dirk_step,
+        )
 
     return solve
 
@@ -93,6 +119,11 @@ SOLVERS: Dict[str, Callable] = {
     "explicit_adams": _solve_fixed_adams(implicit=False),
     "fixed_adams": _solve_fixed_adams(implicit=True),
     "adams": _solve_vcabm,
+    # Stiff solvers (no reference analogue; the reference stack is
+    # nonstiff-only — SURVEY.md §2.1): L-stable diagonally-implicit RK
+    # with simplified Newton stages, ode/dirk.py.
+    "sdirk4": _solve_dirk("sdirk4"),
+    "trbdf2": _solve_dirk("trbdf2"),
 }
 
 
