@@ -230,7 +230,7 @@ def adaptive_step(func: Callable, state: AdaptiveState, tableau: ButcherTableau,
         t1=t_next,
         dt=dt_next,
         interp_coeff=coeff_next,
-        nfe=state.nfe + len(tableau.alpha),
+        nfe=state.nfe + tableau.nfe_per_step,
         n_accepted=state.n_accepted + accept.astype(state.n_accepted.dtype),
         n_rejected=state.n_rejected + (~accept).astype(state.n_rejected.dtype),
         comp=comp_next,
@@ -256,7 +256,11 @@ def integrate_adaptive(func: Callable, y0: PyTree, ts: jax.Array,
     t0 = ts[0]
     f0 = func(t0, y0)
     if cfg.first_step is None:
-        dt0 = select_initial_step(func, t0, y0, 4, cfg.rtol, cfg.atol, f0)
+        # order-1 matches the reference's hardcoded 4 for the 5(4) pairs
+        # (dopri5.py:75) and scales the heuristic down for the low-order
+        # tableaus instead of overshooting their first step.
+        dt0 = select_initial_step(
+            func, t0, y0, tableau.order - 1, cfg.rtol, cfg.atol, f0)
         nfe0 = jnp.asarray(2, jnp.int32)
     else:
         dt0 = jnp.asarray(cfg.first_step, t0.dtype)

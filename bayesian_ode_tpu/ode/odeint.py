@@ -26,7 +26,7 @@ from . import fixed_adams as _fixed_adams
 from . import vcabm as _vcabm
 from .adaptive import AdaptiveConfig, integrate_adaptive
 from .fixed_grid import integrate_fixed_grid
-from .tableaus import DOPRI5, TSIT5
+from .tableaus import ADAPTIVE_HEUN, BOSH3, DOPRI5, FEHLBERG2, TSIT5
 
 _ADAPTIVE_OPTION_KEYS = (
     "first_step", "safety", "ifactor", "dfactor", "max_num_steps", "mode",
@@ -113,6 +113,12 @@ def _solve_vcabm(func, y0, ts, rtol, atol, options):
 SOLVERS: Dict[str, Callable] = {
     "dopri5": _solve_adaptive(DOPRI5, "quartic"),
     "tsit5": _solve_adaptive(TSIT5, "stages"),
+    # Low-order adaptive pairs.  Beyond the vendored reference's registry
+    # (odeint.py:8-17) but present in upstream torchdiffeq under these
+    # names; dense output is cubic Hermite (matches/exceeds method order).
+    "bosh3": _solve_adaptive(BOSH3, "hermite"),
+    "fehlberg2": _solve_adaptive(FEHLBERG2, "hermite"),
+    "adaptive_heun": _solve_adaptive(ADAPTIVE_HEUN, "hermite"),
     "euler": _solve_fixed("euler"),
     "midpoint": _solve_fixed("midpoint"),
     "rk4": _solve_fixed("rk4"),

@@ -62,8 +62,13 @@ def runge_kutta_step(func: Callable, y0: PyTree, f0: PyTree, t0, dt,
                      tableau: ButcherTableau):
     """One explicit RK step with embedded error estimate.
 
-    Returns (y1, f1, y1_error, k) where k is the list of s+1 stage
-    derivatives.  FSAL tableaus skip the final combine (rk_common.py:54-56).
+    Returns (y1, f1, y1_error, k) where k is the list of stage derivatives
+    with the endpoint slope f(t1, y1) last.  FSAL tableaus skip the final
+    combine and reuse the last stage as f1 (rk_common.py:54-56); non-FSAL
+    tableaus (fehlberg2, adaptive_heun) evaluate f1 fresh — one extra RHS
+    call per step, counted via tableau.nfe_per_step — so the FSAL carry
+    contract (state.f1 == f(t1, y1)) and the Hermite interpolant's
+    endpoint-slope access (k[-1]) stay valid for every tableau.
     """
     k: List[PyTree] = [f0]
     for alpha_i, beta_i in zip(tableau.alpha, tableau.beta):
@@ -76,6 +81,13 @@ def runge_kutta_step(func: Callable, y0: PyTree, f0: PyTree, t0, dt,
         )
         k.append(func(ti, yi))
 
+    # The error combine zips c_error (s+1 weights) against k, so the extra
+    # non-FSAL endpoint slope appended below never enters the estimate.
+    y1_error = jax.tree.map(
+        lambda *ks: _cast(dt, ks[0])
+        * sum(c * k_ for c, k_ in zip(tableau.c_error, ks) if c != 0),
+        *k,
+    )
     if tableau.is_fsal:
         y1 = yi
     else:
@@ -85,12 +97,8 @@ def runge_kutta_step(func: Callable, y0: PyTree, f0: PyTree, t0, dt,
             y0,
             *k,
         )
+        k.append(func(t0 + dt, y1))
     f1 = k[-1]
-    y1_error = jax.tree.map(
-        lambda *ks: _cast(dt, ks[0])
-        * sum(c * k_ for c, k_ in zip(tableau.c_error, ks) if c != 0),
-        *k,
-    )
     return y1, f1, y1_error, k
 
 

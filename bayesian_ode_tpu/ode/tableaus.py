@@ -33,8 +33,16 @@ class ButcherTableau(NamedTuple):
     @property
     def is_fsal(self) -> bool:
         # First-Same-As-Last: the last stage is evaluated at (t1, y1), so the
-        # combine step is free and f1 = k[-1].  True for both tableaus here.
+        # combine step is free and f1 = k[-1].  True for DOPRI5/TSIT5/BOSH3;
+        # non-FSAL tableaus (FEHLBERG2, ADAPTIVE_HEUN) pay one extra RHS
+        # evaluation per step for f(t1, y1) (runge_kutta.runge_kutta_step).
         return self.c_sol[-1] == 0.0 and list(self.c_sol[:-1]) == list(self.beta[-1])
+
+    @property
+    def nfe_per_step(self) -> int:
+        # RHS evaluations per attempted step beyond the carried f0: the s
+        # tableau stages, plus the fresh f(t1, y1) non-FSAL methods need.
+        return len(self.alpha) + (0 if self.is_fsal else 1)
 
 
 # Dormand-Prince-Shampine 5(4).  Coefficients as in Hairer I.II; identical
@@ -123,6 +131,48 @@ TSIT5 = ButcherTableau(
         -1 / 66,
     ],
     order=5,
+)
+
+
+# Bogacki-Shampine 3(2).  Beyond the vendored reference's registry
+# (odeint.py:8-17 stops at the 5(4) pairs) but part of upstream
+# torchdiffeq's, so migrating users find the name; FSAL, 3 effective
+# stages — the cheap adaptive method for loose tolerances.
+BOSH3 = ButcherTableau(
+    alpha=[1 / 2, 3 / 4, 1.0],
+    beta=[
+        [1 / 2],
+        [0.0, 3 / 4],
+        [2 / 9, 1 / 3, 4 / 9],
+    ],
+    c_sol=[2 / 9, 1 / 3, 4 / 9, 0.0],
+    # b - bhat with the embedded 2nd-order bhat = [7/24, 1/4, 1/3, 1/8].
+    c_error=[2 / 9 - 7 / 24, 1 / 3 - 1 / 4, 4 / 9 - 1 / 3, -1 / 8],
+    order=3,
+)
+
+# Fehlberg RK1(2).  Upstream-torchdiffeq name; non-FSAL.
+FEHLBERG2 = ButcherTableau(
+    alpha=[1 / 2, 1.0],
+    beta=[
+        [1 / 2],
+        [1 / 256, 255 / 256],
+    ],
+    c_sol=[1 / 512, 255 / 256, 1 / 512],
+    # b - bhat with the 1st-order bhat = [1/256, 255/256, 0].
+    c_error=[1 / 512 - 1 / 256, 0.0, 1 / 512],
+    order=2,
+)
+
+# Heun-Euler 2(1): trapezoidal corrector with embedded Euler error
+# estimate.  Upstream-torchdiffeq name 'adaptive_heun'; non-FSAL.
+ADAPTIVE_HEUN = ButcherTableau(
+    alpha=[1.0],
+    beta=[[1.0]],
+    c_sol=[1 / 2, 1 / 2],
+    # b - bhat with the embedded Euler bhat = [1, 0].
+    c_error=[-1 / 2, 1 / 2],
+    order=2,
 )
 
 
