@@ -11,6 +11,8 @@ from .ode import (  # noqa: F401
     SOLVERS,
     odeint,
     odeint_adjoint,
+    odeint_event,
+    odeint_event_with_stats,
     odeint_forward_sensitivity,
     odeint_with_stats,
 )

@@ -238,22 +238,23 @@ def adaptive_step(func: Callable, state: AdaptiveState, tableau: ButcherTableau,
     )
 
 
-def integrate_adaptive(func: Callable, y0: PyTree, ts: jax.Array,
-                       tableau, interp_kind: str,
-                       cfg: AdaptiveConfig,
-                       step_impl: Callable = adaptive_step):
-    """Integrate y' = func(t, y) emitting the solution at each time in `ts`.
+def can_step(s: AdaptiveState):
+    # Divergence guard: once the state/error goes non-finite every
+    # step rejects, dt decays geometrically to NaN or exactly 0, and
+    # no further iteration can make progress — without this guard a
+    # diverged f32 solve spins out the full 2^20-step budget (for the
+    # implicit solvers that is 2^20 LU factorizations; long enough
+    # that the TPU runtime watchdog declares the worker dead).
+    # reached_final_time=False reports the abort, as for budget
+    # exhaustion.
+    return jnp.isfinite(s.dt) & (s.dt > 0)
 
-    Returns (ys, stats) where ys stacks the solution along a new leading
-    axis (ys[0] == y0) and stats carries NFE / step counts.
 
-    `step_impl(func, state, tableau, interp_kind, cfg) -> state` selects
-    the stepping engine: `adaptive_step` (explicit RK, the default) or
-    `dirk.dirk_step` (implicit, with a DIRKTableau).
-    """
-    init_interp, _, evaluate = _INTERP[interp_kind]
-
-    t0 = ts[0]
+def init_adaptive_state(func: Callable, y0: PyTree, t0, tableau,
+                        interp_kind: str, cfg: AdaptiveConfig) -> AdaptiveState:
+    """Initial `AdaptiveState` at `t0` (shared by `integrate_adaptive` and
+    the event-detection march in ode/events.py)."""
+    init_interp, _, _ = _INTERP[interp_kind]
     f0 = func(t0, y0)
     if cfg.first_step is None:
         # order-1 matches the reference's hardcoded 4 for the 5(4) pairs
@@ -266,7 +267,7 @@ def integrate_adaptive(func: Callable, y0: PyTree, ts: jax.Array,
         dt0 = jnp.asarray(cfg.first_step, t0.dtype)
         nfe0 = jnp.asarray(1, jnp.int32)
 
-    state0 = AdaptiveState(
+    return AdaptiveState(
         y1=y0,
         f1=f0,
         t0=t0,
@@ -281,19 +282,29 @@ def integrate_adaptive(func: Callable, y0: PyTree, ts: jax.Array,
                   else None),
     )
 
+
+def integrate_adaptive(func: Callable, y0: PyTree, ts: jax.Array,
+                       tableau, interp_kind: str,
+                       cfg: AdaptiveConfig,
+                       step_impl: Callable = adaptive_step):
+    """Integrate y' = func(t, y) emitting the solution at each time in `ts`.
+
+    Returns (ys, stats) where ys stacks the solution along a new leading
+    axis (ys[0] == y0) and stats carries NFE / step counts.
+
+    `step_impl(func, state, tableau, interp_kind, cfg) -> state` selects
+    the stepping engine: `adaptive_step` (explicit RK, the default) or
+    `dirk.dirk_step` (implicit, with a DIRKTableau).
+    """
+    _, _, evaluate = _INTERP[interp_kind]
+
+    t0 = ts[0]
+    state0 = init_adaptive_state(func, y0, t0, tableau, interp_kind, cfg)
+
     def step_fn(s):
         return step_impl(func, s, tableau, interp_kind, cfg)
 
-    def _can_step(s):
-        # Divergence guard: once the state/error goes non-finite every
-        # step rejects, dt decays geometrically to NaN or exactly 0, and
-        # no further iteration can make progress — without this guard a
-        # diverged f32 solve spins out the full 2^20-step budget (for the
-        # implicit solvers that is 2^20 LU factorizations; long enough
-        # that the TPU runtime watchdog declares the worker dead).
-        # reached_final_time=False reports the abort, as for budget
-        # exhaustion.
-        return jnp.isfinite(s.dt) & (s.dt > 0)
+    _can_step = can_step
 
     if cfg.mode == "while":
         # Single while loop over solver steps; each accepted step emits
