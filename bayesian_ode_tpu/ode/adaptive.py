@@ -34,7 +34,8 @@ import jax.numpy as jnp
 
 from ..utils.pytree import PyTree, tree_where
 from .interp import interp_evaluate, interp_fit
-from .runge_kutta import AdaptiveState, runge_kutta_step, weighted_stage_sum
+from .runge_kutta import (AdaptiveState, _cast as _cast_leaf,
+                          runge_kutta_step, weighted_stage_sum)
 from .step_control import (
     error_ratio,
     optimal_step_size,
@@ -96,7 +97,7 @@ def _quartic_interp_init(y0, f0):
     return [z, z, z, z, y0]
 
 
-def _quartic_interp_fit(tableau, y0, y1, k, dt):
+def _quartic_interp_fit(func, tableau, y0, y1, k, t0, dt):
     y_mid = jax.tree.map(
         lambda y, inc: y + inc, y0, weighted_stage_sum(dt, tableau.c_mid, k)
     )
@@ -112,7 +113,7 @@ def _stages_interp_init(y0, f0):
     return (y0, [z] * 7)
 
 
-def _stages_interp_fit(tableau, y0, y1, k, dt):
+def _stages_interp_fit(func, tableau, y0, y1, k, t0, dt):
     return (y0, list(k))
 
 
@@ -136,7 +137,7 @@ def _hermite_interp_init(y0, f0):
     return (y0, y0, z, z)
 
 
-def _hermite_interp_fit(tableau, y0, y1, k, dt):
+def _hermite_interp_fit(func, tableau, y0, y1, k, t0, dt):
     # cubic Hermite from the interval endpoints; k[0]/k[-1] are the
     # endpoint slopes (both available for the stiffly accurate DIRK
     # methods: f(t1, y1) is the last stage derivative)
@@ -162,11 +163,79 @@ def _hermite_interp_eval(coeff, t0, t1, t):
     )
 
 
+def _dop853_interp_init(y0, f0):
+    z = jax.tree.map(jnp.zeros_like, y0)
+    return (y0, [z] * 7)
+
+
+def _dop853_interp_fit(func, tableau, y0, y1, k, t0, dt):
+    """Hairer's 7th-order dense output for DOP853 (dop853.f CONTD8).
+
+    Three extra stages are evaluated at c in {0.1, 0.2, 7/9} of the step
+    (so dense output costs 3 RHS evaluations per attempted step — counted
+    in adaptive_step's NFE), then seven F coefficient trees are built:
+    the first three from endpoint values/slopes, the last four from the
+    published D-matrix contraction over all 16 stages.
+    """
+    from .tableaus import DOPRI8_DENSE
+
+    ks = list(k)  # 13 FSAL stages; extended to 16 below
+    for a_row, c in zip(DOPRI8_DENSE["a_extra"], DOPRI8_DENSE["c_extra"]):
+        yi = jax.tree.map(
+            lambda y, *kk: y + _cast_leaf(dt, y)
+            * sum(a * k_ for a, k_ in zip(a_row, kk) if a != 0),
+            y0,
+            *ks,
+        )
+        ks.append(func(t0 + c * dt, yi))
+
+    f_old, f_new = ks[0], ks[12]
+    delta = jax.tree.map(lambda a, b: b - a, y0, y1)
+    f0_list = [
+        delta,
+        jax.tree.map(lambda f, d: _cast_leaf(dt, f) * f - d, f_old, delta),
+        jax.tree.map(
+            lambda d, fo, fn: 2 * d - _cast_leaf(dt, d) * (fn + fo),
+            delta, f_old, f_new,
+        ),
+    ]
+    for d_row in DOPRI8_DENSE["d"]:
+        f0_list.append(
+            jax.tree.map(
+                lambda *kk: _cast_leaf(dt, kk[0])
+                * sum(dv * k_ for dv, k_ in zip(d_row, kk) if dv != 0),
+                *ks,
+            )
+        )
+    return (y0, f0_list)
+
+
+def _dop853_interp_eval(coeff, t0, t1, t):
+    y0, F = coeff
+    denom = jnp.where(t1 == t0, jnp.ones_like(t1), t1 - t0)
+    x = jnp.where(t1 == t0, jnp.zeros_like(t), (t - t0) / denom)
+    # Alternating-Horner evaluation (dop853.f CONTD8 / the equivalent
+    # scipy Dop853DenseOutput._call_impl recurrence):
+    # y = y0 + x*(F0 + (1-x)*(F1 + x*(F2 + (1-x)*(F3 + x*(F4 + (1-x)*(F5 + x*F6))))))
+    def leaf(y, *fs):
+        xx = x.astype(y.dtype)
+        acc = fs[6]
+        for i, f in enumerate((fs[5], fs[4], fs[3], fs[2], fs[1], fs[0])):
+            acc = f + acc * (xx if i % 2 == 0 else 1 - xx)
+        return y + acc * xx
+
+    return jax.tree.map(leaf, y0, *F)
+
+
 _INTERP = {
     "quartic": (_quartic_interp_init, _quartic_interp_fit, _quartic_interp_eval),
     "stages": (_stages_interp_init, _stages_interp_fit, _stages_interp_eval),
     "hermite": (_hermite_interp_init, _hermite_interp_fit, _hermite_interp_eval),
+    "dop853": (_dop853_interp_init, _dop853_interp_fit, _dop853_interp_eval),
 }
+
+# Extra RHS evaluations an interp fit itself spends per attempted step.
+_INTERP_NFE = {"quartic": 0, "stages": 0, "hermite": 0, "dop853": 3}
 
 
 def adaptive_step(func: Callable, state: AdaptiveState, tableau: ButcherTableau,
@@ -181,10 +250,22 @@ def adaptive_step(func: Callable, state: AdaptiveState, tableau: ButcherTableau,
     _, fit, _ = _INTERP[interp_kind]
     y0, f0, t0, dt, coeff = state.y1, state.f1, state.t1, state.dt, state.interp_coeff
 
-    y1, f1, y1_error, k = runge_kutta_step(func, y0, f0, t0, dt, tableau)
+    y1, f1, y1_error, y1_error_alt, k = runge_kutta_step(
+        func, y0, f0, t0, dt, tableau)
     floor = cfg.ulp_floor if cfg.ulp_floor is not None else (
         4.0 if cfg.compensated else 32.0)
     ratio = error_ratio(y1_error, cfg.rtol, cfg.atol, y0, y1, floor)
+    if y1_error_alt is not None:
+        # Composite 8(5,3) estimate (DOP853; Hairer & Wanner II.5): with
+        # linear ratios e5/e3, err = e5^2/sqrt(e5^2 + 0.01 e3^2); in the
+        # squared-ratio convention used throughout this module that is
+        # r = r5^2/(r5 + 0.01 r3).  The damping makes the estimate scale
+        # as O(h^8) so optimal_step_size's 1/order exponent is exact.
+        ratio_alt = error_ratio(y1_error_alt, cfg.rtol, cfg.atol, y0, y1,
+                                floor)
+        denom = ratio + 0.01 * ratio_alt
+        denom = jnp.maximum(denom, jnp.finfo(denom.dtype).tiny)
+        ratio = ratio * ratio / denom
     accept = ratio <= 1.0
 
     comp_next = state.comp
@@ -203,7 +284,8 @@ def adaptive_step(func: Callable, state: AdaptiveState, tableau: ButcherTableau,
     y_next = tree_where(accept, y1, y0)
     f_next = tree_where(accept, f1, f0)
     t_next = jnp.where(accept, t0 + dt, t0)
-    coeff_next = tree_where(accept, fit(tableau, y0, y1, k, dt), coeff)
+    coeff_next = tree_where(accept, fit(func, tableau, y0, y1, k, t0, dt),
+                            coeff)
     if cfg.controller not in ("i", "pi"):
         raise ValueError(
             f"unknown step controller {cfg.controller!r}; expected 'i' "
@@ -230,7 +312,7 @@ def adaptive_step(func: Callable, state: AdaptiveState, tableau: ButcherTableau,
         t1=t_next,
         dt=dt_next,
         interp_coeff=coeff_next,
-        nfe=state.nfe + tableau.nfe_per_step,
+        nfe=state.nfe + tableau.nfe_per_step + _INTERP_NFE[interp_kind],
         n_accepted=state.n_accepted + accept.astype(state.n_accepted.dtype),
         n_rejected=state.n_rejected + (~accept).astype(state.n_rejected.dtype),
         comp=comp_next,

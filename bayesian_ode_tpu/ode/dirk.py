@@ -293,7 +293,8 @@ def dirk_step(func: Callable, state: AdaptiveState, tableau: DIRKTableau,
     f_next = tree_where(accept, f1, f0)
     t_next = jnp.where(accept, t0 + dt, t0)
     coeff_next = tree_where(
-        accept, fit(tableau, y0, y1, k_trees, dt), state.interp_coeff
+        accept, fit(func, tableau, y0, y1, k_trees, t0, dt),
+        state.interp_coeff
     )
     if cfg.controller not in ("i", "pi"):
         raise ValueError(

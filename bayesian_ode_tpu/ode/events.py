@@ -57,13 +57,14 @@ from .adaptive import (
     init_adaptive_state,
 )
 from .odeint import _ADAPTIVE_OPTION_KEYS, odeint
-from .tableaus import ADAPTIVE_HEUN, BOSH3, DOPRI5, FEHLBERG2, TSIT5
+from .tableaus import ADAPTIVE_HEUN, BOSH3, DOPRI5, DOPRI8, FEHLBERG2, TSIT5
 
 
 def _method_triple(method: str):
     """(tableau, interp_kind, step_impl) for every adaptive method name."""
     table = {
         "dopri5": (DOPRI5, "quartic", adaptive_step),
+        "dopri8": (DOPRI8, "dop853", adaptive_step),
         "tsit5": (TSIT5, "stages", adaptive_step),
         "bosh3": (BOSH3, "hermite", adaptive_step),
         "fehlberg2": (FEHLBERG2, "hermite", adaptive_step),
@@ -78,7 +79,7 @@ def _method_triple(method: str):
     raise ValueError(
         f"odeint_event needs an adaptive method with dense output, got "
         f"{method!r}; available: ['adaptive_heun', 'bosh3', 'dopri5', "
-        "'fehlberg2', 'sdirk4', 'trbdf2', 'tsit5']"
+        "'dopri8', 'fehlberg2', 'sdirk4', 'trbdf2', 'tsit5']"
     )
 
 

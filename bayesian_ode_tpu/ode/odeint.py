@@ -26,7 +26,7 @@ from . import fixed_adams as _fixed_adams
 from . import vcabm as _vcabm
 from .adaptive import AdaptiveConfig, integrate_adaptive
 from .fixed_grid import integrate_fixed_grid
-from .tableaus import ADAPTIVE_HEUN, BOSH3, DOPRI5, FEHLBERG2, TSIT5
+from .tableaus import ADAPTIVE_HEUN, BOSH3, DOPRI5, DOPRI8, FEHLBERG2, TSIT5
 
 _ADAPTIVE_OPTION_KEYS = (
     "first_step", "safety", "ifactor", "dfactor", "max_num_steps", "mode",
@@ -42,7 +42,13 @@ def _solve_adaptive(tableau, interp_kind):
             atol=atol,
             **{k: options[k] for k in _ADAPTIVE_OPTION_KEYS if k in options},
         )
-        return integrate_adaptive(func, y0, ts, tableau, interp_kind, cfg)
+        kind = options.get("interp", interp_kind)
+        if kind == "quartic" and tableau.c_mid is None:
+            raise ValueError(
+                "options={'interp': 'quartic'} needs a tableau with c_mid "
+                "midpoint weights"
+            )
+        return integrate_adaptive(func, y0, ts, tableau, kind, cfg)
 
     return solve
 
@@ -113,6 +119,15 @@ def _solve_vcabm(func, y0, ts, rtol, atol, options):
 SOLVERS: Dict[str, Callable] = {
     "dopri5": _solve_adaptive(DOPRI5, "quartic"),
     "tsit5": _solve_adaptive(TSIT5, "stages"),
+    # Hairer's DOP853 under upstream torchdiffeq's name.  Composite
+    # 8(5,3) error estimate (tableaus.DOPRI8.c_error_alt) and the true
+    # 7th-order dense output (adaptive._dop853_interp_fit; 3 extra RHS
+    # evals per step) — upstream torchdiffeq's dopri8 only carries the
+    # generic 4th-order fit, which dominates the output error once the
+    # order-8 steps get large.  options={"interp": "quartic"} falls back
+    # to the cheap fit (derived c_mid) when outputs are only needed to
+    # ~4th order.
+    "dopri8": _solve_adaptive(DOPRI8, "dop853"),
     # Low-order adaptive pairs.  Beyond the vendored reference's registry
     # (odeint.py:8-17) but present in upstream torchdiffeq under these
     # names; dense output is cubic Hermite (matches/exceeds method order).

@@ -62,8 +62,11 @@ def runge_kutta_step(func: Callable, y0: PyTree, f0: PyTree, t0, dt,
                      tableau: ButcherTableau):
     """One explicit RK step with embedded error estimate.
 
-    Returns (y1, f1, y1_error, k) where k is the list of stage derivatives
-    with the endpoint slope f(t1, y1) last.  FSAL tableaus skip the final
+    Returns (y1, f1, y1_error, y1_error_alt, k) where k is the list of
+    stage derivatives with the endpoint slope f(t1, y1) last.
+    y1_error_alt is the second embedded estimate for composite-error
+    tableaus (DOPRI8's 3rd-order row; tableaus.ButcherTableau.c_error_alt)
+    and None otherwise.  FSAL tableaus skip the final
     combine and reuse the last stage as f1 (rk_common.py:54-56); non-FSAL
     tableaus (fehlberg2, adaptive_heun) evaluate f1 fresh — one extra RHS
     call per step, counted via tableau.nfe_per_step — so the FSAL carry
@@ -88,6 +91,13 @@ def runge_kutta_step(func: Callable, y0: PyTree, f0: PyTree, t0, dt,
         * sum(c * k_ for c, k_ in zip(tableau.c_error, ks) if c != 0),
         *k,
     )
+    y1_error_alt = None
+    if tableau.c_error_alt is not None:
+        y1_error_alt = jax.tree.map(
+            lambda *ks: _cast(dt, ks[0])
+            * sum(c * k_ for c, k_ in zip(tableau.c_error_alt, ks) if c != 0),
+            *k,
+        )
     if tableau.is_fsal:
         y1 = yi
     else:
@@ -99,7 +109,7 @@ def runge_kutta_step(func: Callable, y0: PyTree, f0: PyTree, t0, dt,
         )
         k.append(func(t0 + dt, y1))
     f1 = k[-1]
-    return y1, f1, y1_error, k
+    return y1, f1, y1_error, y1_error_alt, k
 
 
 def rk4_step(func: Callable, t, dt, y: PyTree, k1: PyTree = None) -> PyTree:
