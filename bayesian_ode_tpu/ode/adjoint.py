@@ -66,6 +66,16 @@ def odeint_adjoint(func: Callable, y0: PyTree, t, rtol: float = 1e-6,
     if options is not None and method is None:
         raise ValueError("cannot supply `options` without specifying `method`")
     method = method or "dopri5"
+    if any(jnp.iscomplexobj(l) for l in jax.tree.leaves(y0)):
+        # complex cotangents through the custom_vjp would need a conjugation
+        # convention; the forward path (odeint) supports complex states and
+        # discrete backprop via options={"mode": "bounded"} works through
+        # its view-as-real boundary (_complex_to_real).
+        raise NotImplementedError(
+            "odeint_adjoint does not support complex states; use odeint "
+            "(complex handled view-as-real) with options={'mode': 'bounded'} "
+            "for reverse-mode gradients"
+        )
     t = jnp.asarray(t, jax.dtypes.canonicalize_dtype(jnp.float64))
 
     reverse = False

@@ -148,6 +148,45 @@ SOLVERS: Dict[str, Callable] = {
 }
 
 
+def _complex_to_real(func, y0):
+    """View-as-real transform for complex state leaves.
+
+    The reference's odeint docstring admits complex y0 (odeint.py:33-35;
+    upstream torchdiffeq realizes it by viewing complex tensors as real
+    pairs).  Same recipe here, at the solver boundary: each complex leaf
+    z becomes stack([Re z, Im z], axis=-1) — a real leaf with one extra
+    trailing axis — and the RHS is wrapped to convert in/out, so every
+    solver, stepper and stats path runs on real arrays only.  Error
+    control then sees Re/Im as separate components, exactly like
+    torchdiffeq's view-as-real.  Returns (wrapped_func, y0_real,
+    unpack) with unpack mapping solution trees back to complex; a no-op
+    (identity unpack) when no leaf is complex.
+    """
+    leaves, treedef = jax.tree.flatten(y0)
+    is_cplx = [jnp.iscomplexobj(leaf) for leaf in leaves]
+    if not any(is_cplx):
+        return func, y0, lambda ys: ys
+
+    def pack(tree):
+        ls = treedef.flatten_up_to(tree)
+        return treedef.unflatten([
+            jnp.stack([jnp.real(l), jnp.imag(l)], axis=-1) if c else l
+            for l, c in zip(ls, is_cplx)
+        ])
+
+    def unpack(tree):
+        ls = treedef.flatten_up_to(tree)
+        return treedef.unflatten([
+            jax.lax.complex(l[..., 0], l[..., 1]) if c else l
+            for l, c in zip(ls, is_cplx)
+        ])
+
+    def wrapped(t, y_real):
+        return pack(func(t, unpack(y_real)))
+
+    return wrapped, pack(y0), unpack
+
+
 def _check_and_canonicalize(func, y0, t, reverse=None):
     """Validate t and canonicalize to increasing time.
 
@@ -207,6 +246,7 @@ def odeint_with_stats(func: Callable, y0: PyTree, t, rtol: float = 1e-7,
             f"unknown method {method!r}; available: {sorted(SOLVERS)}"
         )
 
+    func, y0, unpack = _complex_to_real(func, y0)
     func, t = _check_and_canonicalize(func, y0, t,
                                       reverse=options.pop("reverse", None))
 
@@ -220,9 +260,10 @@ def odeint_with_stats(func: Callable, y0: PyTree, t, rtol: float = 1e-7,
             "n_rejected": jnp.asarray(0, jnp.int32),
             "reached_final_time": jnp.asarray(True),
         }
-        return ys, stats
+        return unpack(ys), stats
 
-    return SOLVERS[method](func, y0, t, rtol, atol, options)
+    ys, stats = SOLVERS[method](func, y0, t, rtol, atol, options)
+    return unpack(ys), stats
 
 
 def odeint(func: Callable, y0: PyTree, t, rtol: float = 1e-7,
