@@ -79,6 +79,12 @@ class AdaptiveConfig:
     # (M^{-1}-filtered; calmer on strong transients but blind to
     # quasi-static error at lam*h >> 1 — measurements in ode/dirk.py).
     error_filter: str = "raw"
+    # Optional per-leaf error-norm weights (Python floats, same pytree
+    # structure as the state); 0.0 removes a leaf from error control.
+    # Used by odeint_adjoint's adjoint_options={"norm": "seminorm"} to
+    # exclude accumulated parameter-gradient leaves from the backward
+    # solve's step control (step_control.error_ratio docstring).
+    norm_weights: Optional[PyTree] = None
 
 
 # ---------------------------------------------------------------------------
@@ -254,7 +260,8 @@ def adaptive_step(func: Callable, state: AdaptiveState, tableau: ButcherTableau,
         func, y0, f0, t0, dt, tableau)
     floor = cfg.ulp_floor if cfg.ulp_floor is not None else (
         4.0 if cfg.compensated else 32.0)
-    ratio = error_ratio(y1_error, cfg.rtol, cfg.atol, y0, y1, floor)
+    ratio = error_ratio(y1_error, cfg.rtol, cfg.atol, y0, y1, floor,
+                        cfg.norm_weights)
     if y1_error_alt is not None:
         # Composite 8(5,3) estimate (DOP853; Hairer & Wanner II.5): with
         # linear ratios e5/e3, err = e5^2/sqrt(e5^2 + 0.01 e3^2); in the
@@ -262,7 +269,7 @@ def adaptive_step(func: Callable, state: AdaptiveState, tableau: ButcherTableau,
         # r = r5^2/(r5 + 0.01 r3).  The damping makes the estimate scale
         # as O(h^8) so optimal_step_size's 1/order exponent is exact.
         ratio_alt = error_ratio(y1_error_alt, cfg.rtol, cfg.atol, y0, y1,
-                                floor)
+                                floor, cfg.norm_weights)
         denom = ratio + 0.01 * ratio_alt
         denom = jnp.maximum(denom, jnp.finfo(denom.dtype).tiny)
         ratio = ratio * ratio / denom

@@ -155,9 +155,29 @@ def _odeint_adj_bwd(func, cfg, residuals, grad_ys):
         adjoint.py:81-84)."""
         rev = lambda s, aug: jax.tree.map(jnp.negative, augmented_dynamics(-s, aug))
         span = jnp.stack([-t_hi, -t_lo])
+        bw_opts = cfg.bw_options()
+        norm = bw_opts.pop("norm", None)
+        if norm == "seminorm":
+            # Upstream torchdiffeq's adjoint seminorm (Kidger et al.,
+            # "Hey, that's not an ODE"): the accumulated parameter
+            # gradients a_p are plain integrals of the already
+            # error-controlled (y, a_y) — excluding them from the
+            # backward solve's error norm saves steps without touching
+            # the controlled components' accuracy.
+            y_i, a_y, a_t, a_p = aug0
+            bw_opts["norm_weights"] = (
+                jax.tree.map(lambda _: 1.0, y_i),
+                jax.tree.map(lambda _: 1.0, a_y),
+                1.0,
+                jax.tree.map(lambda _: 0.0, a_p),
+            )
+        elif norm is not None:
+            raise ValueError(
+                f"unknown adjoint norm {norm!r}; expected 'seminorm'"
+            )
         out = _solve(
             rev, aug0, span, cfg.adjoint_rtol, cfg.adjoint_atol,
-            cfg.adjoint_method, cfg.bw_options(),
+            cfg.adjoint_method, bw_opts,
         )
         return jax.tree.map(lambda x: x[-1], out)
 

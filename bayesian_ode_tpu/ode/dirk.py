@@ -278,7 +278,8 @@ def dirk_step(func: Callable, state: AdaptiveState, tableau: DIRKTableau,
     y1_error = unravel(err_vec)
 
     floor = cfg.ulp_floor if cfg.ulp_floor is not None else 32.0
-    ratio = error_ratio(y1_error, cfg.rtol, cfg.atol, y0, y1, floor)
+    ratio = error_ratio(y1_error, cfg.rtol, cfg.atol, y0, y1, floor,
+                        cfg.norm_weights)
     # part of the frozen mesh: accept/step-size decisions are data under AD
     ratio = jax.lax.stop_gradient(ratio)
     # Newton failure => reject and shrink (the controller's max-shrink cap

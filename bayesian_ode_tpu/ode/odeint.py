@@ -31,7 +31,7 @@ from .tableaus import ADAPTIVE_HEUN, BOSH3, DOPRI5, DOPRI8, FEHLBERG2, TSIT5
 _ADAPTIVE_OPTION_KEYS = (
     "first_step", "safety", "ifactor", "dfactor", "max_num_steps", "mode",
     "max_steps_per_interval", "compensated", "ulp_floor", "controller",
-    "newton_iters", "newton_kappa", "error_filter",
+    "newton_iters", "newton_kappa", "error_filter", "norm_weights",
 )
 
 

@@ -18,8 +18,18 @@ from ..utils.pytree import PyTree, tree_rms_norm
 
 
 def error_ratio(y1_error: PyTree, rtol, atol, y0: PyTree, y1: PyTree,
-                ulp_floor: float = 32.0):
+                ulp_floor: float = 32.0, norm_weights: PyTree = None):
     """Scalar squared error ratio for accept/reject and step control.
+
+    norm_weights: optional pytree of per-leaf Python-float weights (same
+    structure as the state); each leaf's mean-square ratio is scaled by
+    its weight before the max-reduction, so weight 0.0 excludes a leaf
+    from error control entirely.  This is the mechanism behind the
+    adjoint seminorm (odeint_adjoint adjoint_options={"norm":
+    "seminorm"}, after upstream torchdiffeq / Kidger et al., "Hey,
+    that's not an ODE": accumulated parameter-gradient leaves need not
+    be error-controlled — they are integrals of the already-controlled
+    (y, a_y) and only consume steps).
 
     Per leaf: mean((err / (atol + rtol * max(|y0|, |y1|)))^2); the scalar
     used for control is the max over leaves.  For single-array state this is
@@ -44,7 +54,13 @@ def error_ratio(y1_error: PyTree, rtol, atol, y0: PyTree, y1: PyTree,
         tol = jnp.maximum(tol, ulps * mag)
         return jnp.mean(jnp.square(e / tol))
 
-    ratios = jax.tree.map(leaf_ratio, y1_error, y0, y1)
+    if norm_weights is None:
+        ratios = jax.tree.map(leaf_ratio, y1_error, y0, y1)
+    else:
+        ratios = jax.tree.map(
+            lambda e, a, b, w: leaf_ratio(e, a, b) * w,
+            y1_error, y0, y1, norm_weights,
+        )
     leaves = jax.tree.leaves(ratios)
     out = leaves[0]
     for r in leaves[1:]:
