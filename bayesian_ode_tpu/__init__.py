@@ -9,8 +9,10 @@ optimization, and nonparametric ODE models.
 """
 from .ode import (  # noqa: F401
     SOLVERS,
+    DenseSolution,
     odeint,
     odeint_adjoint,
+    odeint_dense,
     odeint_event,
     odeint_event_with_stats,
     odeint_forward_sensitivity,

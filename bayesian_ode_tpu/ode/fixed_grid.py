@@ -43,6 +43,12 @@ STEP_FUNCS = {
     "rk4": rk4_step_fn,
 }
 
+# Symplectic steppers for (q, p) separable-Hamiltonian states share the
+# fixed-grid scaffolding (ode/symplectic.py documents the contract).
+from .symplectic import SYMPLECTIC_STEP_FUNCS  # noqa: E402
+
+STEP_FUNCS.update(SYMPLECTIC_STEP_FUNCS)
+
 
 def _build_grid(ts, step_size):
     """Uniform grid from t[0] with the given step, clamped to end at t[-1].

@@ -137,6 +137,14 @@ SOLVERS: Dict[str, Callable] = {
     "euler": _solve_fixed("euler"),
     "midpoint": _solve_fixed("midpoint"),
     "rk4": _solve_fixed("rk4"),
+    # Symplectic fixed-grid methods for separable Hamiltonian systems
+    # (state = (q, p) 2-tuple; ode/symplectic.py documents the
+    # contract).  No reference analogue; bounded long-horizon energy
+    # error is the point.
+    "symplectic_euler": _solve_fixed("symplectic_euler"),
+    "leapfrog": _solve_fixed("leapfrog"),
+    "verlet": _solve_fixed("verlet"),
+    "yoshida4": _solve_fixed("yoshida4"),
     "explicit_adams": _solve_fixed_adams(implicit=False),
     "fixed_adams": _solve_fixed_adams(implicit=True),
     "adams": _solve_vcabm,
