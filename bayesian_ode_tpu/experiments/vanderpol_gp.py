@@ -132,6 +132,10 @@ def make_sampler(config: Dict, potential: Callable):
                               friction=config.get("friction", 1.0),
                               burn_in_steps=config["burn_in"],
                               lambda_=config["lambda_"])
+    if method == "HMC":
+        return samplers.hmc(potential, config["lr"],
+                            num_leapfrog=config.get("num_leapfrog", 10),
+                            jitter=config.get("eps_jitter", 0.2))
     if method == "SGRHMC":
         return samplers.sgrhmc(potential, _poly_sched(config),
                                friction=config.get("friction", 0.1),
@@ -273,6 +277,11 @@ def run_sampler(config: Dict, data: Dict, output: str,
                 friction=config.get("friction", 1.0),
                 burn_in_steps=config["burn_in"],
                 lambda_=config["lambda_"])
+        elif config["method"] == "HMC":
+            kernel = samplers.hmc_batched(
+                pot_batch, config["lr"],
+                num_leapfrog=config.get("num_leapfrog", 10),
+                jitter=config.get("eps_jitter", 0.2))
         else:
             kernel = samplers.sgld_batched(pot_batch, _poly_sched(config))
         jitter = config.get("jitter", 0.005)

@@ -22,6 +22,8 @@ from .hamiltonian import (  # noqa: F401
     asghmc_batched,
     baoab,
     baoab_batched,
+    hmc,
+    hmc_batched,
     sgrhmc,
     sgrhmc_batched,
 )
@@ -65,6 +67,8 @@ __all__ = [
     "asgld",
     "baoab",
     "baoab_batched",
+    "hmc",
+    "hmc_batched",
     "csgld",
     "csgld_batched",
     "ess",

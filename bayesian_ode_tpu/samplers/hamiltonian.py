@@ -10,9 +10,15 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..utils.pytree import PyTree, tree_random_normal
+from ..utils.pytree import (
+    PyTree,
+    tree_random_normal,
+    tree_sum_squares,
+    tree_where,
+)
 from . import schedules
 from .base import TransitionKernel, batch_value_and_grad
+from .langevin import _tree_sum_squares_per_chain, _tree_where_per_chain
 
 
 class SGHMCState(NamedTuple):
@@ -384,3 +390,137 @@ def acsghmc_batched(potential_batch: Callable, lr0: float, num_cycles: int,
     return _make_sghmc(batch_value_and_grad(potential_batch), lr_fn,
                        mom_decay, lambda_, resample_momentum_every,
                        burn_in_steps, noise_fn)
+
+
+class HMCState(NamedTuple):
+    position: PyTree
+    potential: jax.Array
+    grad: PyTree
+    step: jax.Array
+
+
+def _bcast_step(eps, leaf):
+    """Broadcast a scalar or per-chain (C,) step over a leaf's axes."""
+    eps = jnp.asarray(eps)
+    if eps.ndim == 0:
+        return eps
+    return eps.reshape(eps.shape + (1,) * (leaf.ndim - eps.ndim))
+
+
+def _make_hmc(vag, step_size, num_leapfrog, precond, jitter, per_chain):
+    """Exact Hamiltonian Monte Carlo (Neal 2011) as a TransitionKernel.
+
+    Not in the reference suite (its exact kernels are MALA/MMALA; aSGHMC
+    is the stochastic-gradient stand-in, hamiltonian.py:11-164) — added
+    because a Bayesian framework without plain HMC is a gap users hit
+    immediately.  Full momentum refresh each step, `num_leapfrog`
+    leapfrog steps (a static `lax.scan`, so `num_leapfrog` gradient
+    evaluations per proposal with the initial gradient cached in the
+    state), Metropolis correction on the Hamiltonian error — zero
+    step-size bias at any (eps, L).
+
+    `precond`: optional FIXED diagonal inverse-mass G (pytree matching
+    the position; same convention as `mala_batched`): momentum
+    p ~ N(0, G^{-1}), kinetic energy p^T G p / 2, position update
+    q += eps*G*p.  Fixed G keeps the chain exactly reversible.
+
+    `jitter`: fraction j => each proposal draws eps ~ U[(1-j)*eps0,
+    (1+j)*eps0] (per chain in batched mode), the standard guard against
+    periodic-orbit resonances on near-Gaussian targets.  The step size
+    is symmetric within a proposal, so exactness is unaffected.
+    """
+    sched = schedules.resolve(step_size)
+
+    def init(position):
+        u, g = vag(position)
+        return HMCState(position, u, g, jnp.asarray(0, jnp.int32))
+
+    def step(key, state):
+        eps0 = sched(state.step)
+        key_mom, key_jit, key_mh = jax.random.split(key, 3)
+        G = precond if precond is not None else jax.tree.map(
+            jnp.ones_like, state.position)
+
+        if per_chain:
+            C = state.potential.shape[0]
+            sum_sq = _tree_sum_squares_per_chain
+            where = _tree_where_per_chain
+            unif = lambda k: jax.random.uniform(key_mh, (C,))
+            eps = eps0 * (1.0 + jitter * (
+                2.0 * jax.random.uniform(key_jit, (C,)) - 1.0)) \
+                if jitter else eps0
+        else:
+            sum_sq = tree_sum_squares
+            where = lambda a, x, y: tree_where(a, x, y)
+            unif = lambda k: jax.random.uniform(key_mh)
+            eps = eps0 * (1.0 + jitter * (
+                2.0 * jax.random.uniform(key_jit) - 1.0)) \
+                if jitter else eps0
+
+        def e(leaf):
+            return _bcast_step(eps, leaf)
+
+        # p ~ N(0, M) with M = G^{-1} (diagonal)
+        noise = tree_random_normal(key_mom, state.position)
+        p0 = jax.tree.map(lambda n, G_: n / jnp.sqrt(G_), noise, G)
+        kin0 = 0.5 * sum_sq(jax.tree.map(
+            lambda p, G_: jnp.sqrt(G_) * p, p0, G))
+
+        # leapfrog: half kick, (L-1) x (drift + kick), drift, half kick
+        p = jax.tree.map(lambda p_, g_: p_ - 0.5 * e(p_) * g_,
+                         p0, state.grad)
+        q = jax.tree.map(lambda q_, G_, p_: q_ + e(q_) * G_ * p_,
+                         state.position, G, p)
+        u, g = vag(q)
+
+        def body(carry, _):
+            q, u, g, p = carry
+            p = jax.tree.map(lambda p_, g_: p_ - e(p_) * g_, p, g)
+            q = jax.tree.map(lambda q_, G_, p_: q_ + e(q_) * G_ * p_,
+                             q, G, p)
+            u, g = vag(q)
+            return (q, u, g, p), None
+
+        (q, u, g, p), _ = jax.lax.scan(
+            body, (q, u, g, p), None, length=num_leapfrog - 1)
+        p = jax.tree.map(lambda p_, g_: p_ - 0.5 * e(p_) * g_, p, g)
+
+        kin1 = 0.5 * sum_sq(jax.tree.map(
+            lambda p_, G_: jnp.sqrt(G_) * p_, p, G))
+        log_alpha = (state.potential + kin0) - (u + kin1)
+        accept = jnp.isfinite(log_alpha) & (
+            jnp.log(unif(key_mh)) < log_alpha)
+
+        new_state = HMCState(
+            position=where(accept, q, state.position),
+            potential=jnp.where(accept, u, state.potential),
+            grad=where(accept, g, state.grad),
+            step=state.step + 1,
+        )
+        info = {"potential": new_state.potential, "accepted": accept,
+                "step_size": eps0}
+        return new_state, info
+
+    return TransitionKernel(init, step)
+
+
+def hmc(potential_fn: Callable, step_size, num_leapfrog: int = 10,
+        precond: Optional[PyTree] = None, jitter: float = 0.0
+        ) -> TransitionKernel:
+    """Exact HMC over a per-chain potential (vmap across chains with
+    `sample_chains`).  See `_make_hmc`."""
+    return _make_hmc(jax.value_and_grad(potential_fn), step_size,
+                     num_leapfrog, precond, jitter, per_chain=False)
+
+
+def hmc_batched(potential_batch: Callable, step_size,
+                num_leapfrog: int = 10, precond: Optional[PyTree] = None,
+                jitter: float = 0.0) -> TransitionKernel:
+    """Exact HMC over the fused batch-potential contract (`sgld_batched`):
+    `num_leapfrog` fused forward+backward passes per proposal for the
+    whole batch; per-chain momenta, Hamiltonian errors, jittered step
+    sizes, and accept masks.  Like `mala_batched`, exactness means the
+    step size is tuned for mixing alone (target ~0.6-0.9 acceptance at
+    moderate L), not a bias budget."""
+    return _make_hmc(batch_value_and_grad(potential_batch), step_size,
+                     num_leapfrog, precond, jitter, per_chain=True)

@@ -57,7 +57,7 @@ def test_expand_grid_and_config_io(tmp_path):
 
 
 @pytest.mark.parametrize("method", ["SGLD", "pSGLD", "MALA", "aSGHMC",
-                                    "BAOAB"])
+                                    "BAOAB", "HMC"])
 def test_run_sampler_methods(tmp_path, tiny_data, method):
     cfg = tiny_config(method)
     summary = run_sampler(cfg, tiny_data, str(tmp_path), make_plots=False)
@@ -307,6 +307,17 @@ def test_run_sampler_fused_engine_sgrhmc(tmp_path, tiny_data):
                       lr0=1e-5, burn_in=2, num_samples=4)
     summary = run_sampler(cfg, tiny_data, str(tmp_path), make_plots=False)
     assert np.isfinite(summary["min_potential"])
+    assert summary["num_chains"] == 128
+
+
+def test_run_sampler_fused_engine_hmc(tmp_path, tiny_data):
+    # exact HMC over the fused batch potential: 3 leapfrogs per proposal,
+    # per-chain acceptance masks through the driver summary
+    cfg = tiny_config("HMC", engine="fused", num_chains=128,
+                      lr=1e-4, num_leapfrog=3, burn_in=2, num_samples=4)
+    summary = run_sampler(cfg, tiny_data, str(tmp_path), make_plots=False)
+    assert np.isfinite(summary["min_potential"])
+    assert 0.0 <= summary["acceptance"] <= 1.0
     assert summary["num_chains"] == 128
 
 

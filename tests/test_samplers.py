@@ -621,3 +621,81 @@ def test_sgrhmc_batched_gaussian_moments():
     )
     assert infos["potential"].shape == (2000, C)
     check_moments(jnp.swapaxes(pos, 0, 1), mean_tol=0.25, cov_tol=0.45)
+
+
+# ---------------------------------------------------------------- HMC
+
+def test_hmc_gaussian_moments_and_acceptance():
+    # exact HMC: large steps, high acceptance, correct moments
+    kernel = samplers.hmc(gauss_potential, step_size=0.35, num_leapfrog=8,
+                          jitter=0.2)
+    positions, infos = run_chains(kernel, 11, num_samples=400, burn_in=100)
+    acc = jnp.mean(infos["accepted"].astype(jnp.float32))
+    assert 0.6 < acc <= 1.0, acc
+    check_moments(positions)
+
+
+def test_hmc_exact_at_large_step():
+    # at eps=0.6, L=5 an uncorrected discretization would be visibly
+    # biased on a unit Gaussian; the MH correction keeps the variance
+    # honest
+    kernel = samplers.hmc(lambda x: 0.5 * jnp.sum(x**2), step_size=0.6,
+                          num_leapfrog=5, jitter=0.2)
+    x0 = jnp.zeros(2)
+    states = samplers.init_chains(kernel, jax.random.PRNGKey(3), x0, 64)
+    _, positions, infos = samplers.sample_chains(
+        kernel, states, jax.random.split(jax.random.PRNGKey(4), 64),
+        num_samples=500, burn_in=200,
+    )
+    flat = positions.reshape(-1, 2)
+    var = jnp.var(flat, axis=0)
+    assert jnp.max(jnp.abs(var - 1.0)) < 0.12, var
+    acc = jnp.mean(infos["accepted"].astype(jnp.float32))
+    assert acc > 0.7, acc
+
+
+def test_hmc_batched_gaussian_moments_and_independent_acceptance():
+    kernel = samplers.hmc_batched(jax.vmap(gauss_potential), 0.35,
+                                  num_leapfrog=8, jitter=0.2)
+    x0 = jax.random.normal(jax.random.PRNGKey(21), (32, 2))
+    _, positions, infos = samplers.sample_chain(
+        kernel, kernel.init(x0), jax.random.PRNGKey(22), num_samples=500,
+        burn_in=150,
+    )
+    assert infos["accepted"].shape == (500, 32)
+    per_chain = jnp.mean(infos["accepted"].astype(jnp.float32), axis=0)
+    assert float(jnp.std(per_chain)) > 0.0
+    acc = jnp.mean(infos["accepted"].astype(jnp.float32))
+    assert 0.6 < acc <= 1.0, acc
+    check_moments(jnp.swapaxes(positions, 0, 1))
+
+
+def test_hmc_batched_preconditioned_exactness():
+    # fixed diagonal inverse-mass G enters the momentum draw, the drift,
+    # and the kinetic energy; the target must stay invariant with a
+    # deliberately anisotropic G
+    G = jnp.asarray([4.0, 0.25])[None, :]
+    kernel = samplers.hmc_batched(jax.vmap(gauss_potential), 0.15,
+                                  num_leapfrog=8, precond=G, jitter=0.2)
+    x0 = jax.random.normal(jax.random.PRNGKey(23), (32, 2))
+    _, positions, infos = samplers.sample_chain(
+        kernel, kernel.init(x0), jax.random.PRNGKey(24), num_samples=600,
+        burn_in=200,
+    )
+    acc = jnp.mean(infos["accepted"].astype(jnp.float32))
+    assert 0.5 < acc <= 1.0, acc
+    check_moments(jnp.swapaxes(positions, 0, 1))
+
+
+def test_hmc_pytree_state_and_jit():
+    # dict positions through leapfrog/kinetic reductions, under jit
+    def pot(p):
+        return 0.5 * jnp.sum(p["a"] ** 2) + 0.5 * jnp.sum(p["b"] ** 2)
+
+    kernel = samplers.hmc(pot, 0.4, num_leapfrog=5)
+    x0 = {"a": jnp.zeros(3), "b": jnp.zeros((2, 2))}
+    state = kernel.init(x0)
+    step = jax.jit(kernel.step)
+    state, info = step(jax.random.PRNGKey(0), state)
+    assert jnp.isfinite(info["potential"])
+    assert state.position["a"].shape == (3,)
