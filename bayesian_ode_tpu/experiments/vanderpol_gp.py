@@ -136,6 +136,13 @@ def make_sampler(config: Dict, potential: Callable):
         return samplers.hmc(potential, config["lr"],
                             num_leapfrog=config.get("num_leapfrog", 10),
                             jitter=config.get("eps_jitter", 0.2))
+    if method == "AdaptiveHMC":
+        return samplers.adaptive_hmc(
+            potential, num_adapt=config["burn_in"],
+            step_size=config["lr"],
+            num_leapfrog=config.get("num_leapfrog", 10),
+            target_accept=config.get("target_accept", 0.8),
+            jitter=config.get("eps_jitter", 0.2))
     if method == "SGRHMC":
         return samplers.sgrhmc(potential, _poly_sched(config),
                                friction=config.get("friction", 0.1),
@@ -281,6 +288,13 @@ def run_sampler(config: Dict, data: Dict, output: str,
             kernel = samplers.hmc_batched(
                 pot_batch, config["lr"],
                 num_leapfrog=config.get("num_leapfrog", 10),
+                jitter=config.get("eps_jitter", 0.2))
+        elif config["method"] == "AdaptiveHMC":
+            kernel = samplers.adaptive_hmc_batched(
+                pot_batch, num_adapt=config["burn_in"],
+                step_size=config["lr"],
+                num_leapfrog=config.get("num_leapfrog", 10),
+                target_accept=config.get("target_accept", 0.8),
                 jitter=config.get("eps_jitter", 0.2))
         else:
             kernel = samplers.sgld_batched(pot_batch, _poly_sched(config))

@@ -20,6 +20,8 @@ from .hamiltonian import (  # noqa: F401
     acsghmc_batched,
     asghmc,
     asghmc_batched,
+    adaptive_hmc,
+    adaptive_hmc_batched,
     baoab,
     baoab_batched,
     hmc,
@@ -65,6 +67,8 @@ __all__ = [
     "asghmc",
     "asghmc_batched",
     "asgld",
+    "adaptive_hmc",
+    "adaptive_hmc_batched",
     "baoab",
     "baoab_batched",
     "hmc",

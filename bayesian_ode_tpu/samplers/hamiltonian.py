@@ -437,59 +437,17 @@ def _make_hmc(vag, step_size, num_leapfrog, precond, jitter, per_chain):
 
     def step(key, state):
         eps0 = sched(state.step)
-        key_mom, key_jit, key_mh = jax.random.split(key, 3)
+        key_prop, key_mh = jax.random.split(key)
         G = precond if precond is not None else jax.tree.map(
             jnp.ones_like, state.position)
-
-        if per_chain:
-            C = state.potential.shape[0]
-            sum_sq = _tree_sum_squares_per_chain
-            where = _tree_where_per_chain
-            unif = lambda k: jax.random.uniform(key_mh, (C,))
-            eps = eps0 * (1.0 + jitter * (
-                2.0 * jax.random.uniform(key_jit, (C,)) - 1.0)) \
-                if jitter else eps0
-        else:
-            sum_sq = tree_sum_squares
-            where = lambda a, x, y: tree_where(a, x, y)
-            unif = lambda k: jax.random.uniform(key_mh)
-            eps = eps0 * (1.0 + jitter * (
-                2.0 * jax.random.uniform(key_jit) - 1.0)) \
-                if jitter else eps0
-
-        def e(leaf):
-            return _bcast_step(eps, leaf)
-
-        # p ~ N(0, M) with M = G^{-1} (diagonal)
-        noise = tree_random_normal(key_mom, state.position)
-        p0 = jax.tree.map(lambda n, G_: n / jnp.sqrt(G_), noise, G)
-        kin0 = 0.5 * sum_sq(jax.tree.map(
-            lambda p, G_: jnp.sqrt(G_) * p, p0, G))
-
-        # leapfrog: half kick, (L-1) x (drift + kick), drift, half kick
-        p = jax.tree.map(lambda p_, g_: p_ - 0.5 * e(p_) * g_,
-                         p0, state.grad)
-        q = jax.tree.map(lambda q_, G_, p_: q_ + e(q_) * G_ * p_,
-                         state.position, G, p)
-        u, g = vag(q)
-
-        def body(carry, _):
-            q, u, g, p = carry
-            p = jax.tree.map(lambda p_, g_: p_ - e(p_) * g_, p, g)
-            q = jax.tree.map(lambda q_, G_, p_: q_ + e(q_) * G_ * p_,
-                             q, G, p)
-            u, g = vag(q)
-            return (q, u, g, p), None
-
-        (q, u, g, p), _ = jax.lax.scan(
-            body, (q, u, g, p), None, length=num_leapfrog - 1)
-        p = jax.tree.map(lambda p_, g_: p_ - 0.5 * e(p_) * g_, p, g)
-
-        kin1 = 0.5 * sum_sq(jax.tree.map(
-            lambda p_, G_: jnp.sqrt(G_) * p_, p, G))
-        log_alpha = (state.potential + kin0) - (u + kin1)
+        q, u, g, log_alpha = _hmc_proposal(
+            vag, state.position, state.potential, state.grad, key_prop,
+            eps0, jitter, G, num_leapfrog, per_chain)
+        where = _tree_where_per_chain if per_chain else (
+            lambda a, x, y: tree_where(a, x, y))
+        ushape = state.potential.shape if per_chain else ()
         accept = jnp.isfinite(log_alpha) & (
-            jnp.log(unif(key_mh)) < log_alpha)
+            jnp.log(jax.random.uniform(key_mh, ushape)) < log_alpha)
 
         new_state = HMCState(
             position=where(accept, q, state.position),
@@ -502,6 +460,52 @@ def _make_hmc(vag, step_size, num_leapfrog, precond, jitter, per_chain):
         return new_state, info
 
     return TransitionKernel(init, step)
+
+
+def _hmc_proposal(vag, q0, u0, g0, key, eps0, jitter, G, num_leapfrog,
+                  per_chain):
+    """One jittered-leapfrog HMC proposal from (q0, u0, g0).
+
+    Returns (q, u, g, log_alpha) with log_alpha = -(Hamiltonian error):
+    H0 - H1 where H = U + p^T G p / 2 and p ~ N(0, G^{-1}).  `eps0` may
+    be a scalar or per-chain (C,); jitter draws eps ~ U[(1-j), (1+j)]*eps0
+    per chain in batched mode."""
+    key_mom, key_jit = jax.random.split(key)
+    sum_sq = _tree_sum_squares_per_chain if per_chain else tree_sum_squares
+    jshape = u0.shape if per_chain else ()
+    eps = eps0 * (1.0 + jitter * (
+        2.0 * jax.random.uniform(key_jit, jshape) - 1.0)) \
+        if jitter else eps0
+
+    def e(leaf):
+        return _bcast_step(eps, leaf)
+
+    # p ~ N(0, M) with M = G^{-1} (diagonal)
+    noise = tree_random_normal(key_mom, q0)
+    p0 = jax.tree.map(lambda n, G_: n / jnp.sqrt(G_), noise, G)
+    kin0 = 0.5 * sum_sq(jax.tree.map(
+        lambda p, G_: jnp.sqrt(G_) * p, p0, G))
+
+    # leapfrog: half kick, (L-1) x (drift + kick), drift, half kick
+    p = jax.tree.map(lambda p_, g_: p_ - 0.5 * e(p_) * g_, p0, g0)
+    q = jax.tree.map(lambda q_, G_, p_: q_ + e(q_) * G_ * p_, q0, G, p)
+    u, g = vag(q)
+
+    def body(carry, _):
+        q, u, g, p = carry
+        p = jax.tree.map(lambda p_, g_: p_ - e(p_) * g_, p, g)
+        q = jax.tree.map(lambda q_, G_, p_: q_ + e(q_) * G_ * p_, q, G, p)
+        u, g = vag(q)
+        return (q, u, g, p), None
+
+    (q, u, g, p), _ = jax.lax.scan(
+        body, (q, u, g, p), None, length=num_leapfrog - 1)
+    p = jax.tree.map(lambda p_, g_: p_ - 0.5 * e(p_) * g_, p, g)
+
+    kin1 = 0.5 * sum_sq(jax.tree.map(
+        lambda p_, G_: jnp.sqrt(G_) * p_, p, G))
+    log_alpha = (u0 + kin0) - (u + kin1)
+    return q, u, g, log_alpha
 
 
 def hmc(potential_fn: Callable, step_size, num_leapfrog: int = 10,
@@ -524,3 +528,168 @@ def hmc_batched(potential_batch: Callable, step_size,
     moderate L), not a bias budget."""
     return _make_hmc(batch_value_and_grad(potential_batch), step_size,
                      num_leapfrog, precond, jitter, per_chain=True)
+
+
+class AdaptiveHMCState(NamedTuple):
+    position: PyTree
+    potential: jax.Array
+    grad: PyTree
+    step: jax.Array
+    log_eps: jax.Array      # current dual-averaging iterate
+    log_eps_avg: jax.Array  # averaged iterate (the frozen value)
+    h_avg: jax.Array        # running (target - accept_prob) average
+    mu: jax.Array           # dual-averaging shrinkage anchor
+    mean: PyTree            # Welford position mean (phase-1 window)
+    m2: PyTree              # Welford sum of squared deviations
+    mass_g: PyTree          # current diagonal inverse-mass G
+
+
+def _make_adaptive_hmc(vag, eps0, num_adapt, target_accept, num_leapfrog,
+                       jitter, adapt_mass, per_chain):
+    """HMC with Stan-style warmup: dual-averaging step size (Hoffman &
+    Gelman 2014 §3.2) and Welford diagonal inverse-mass estimation, both
+    FROZEN after `num_adapt` steps so the post-warmup chain is exactly
+    reversible (zero bias) — draws taken at step < num_adapt are warmup
+    and must be discarded (set burn_in >= num_adapt in `sample_chain(s)`).
+
+    Two-phase schedule over the warmup window A = num_adapt:
+      phase 1, steps [0, A/2): adapt eps under the initial (identity)
+        mass while accumulating per-chain position variance (Welford);
+      at A/2: freeze G = regularized variance (Stan's n/(n+5) shrinkage
+        toward 1e-3) and RESTART dual averaging around the current eps
+        (the optimal eps changes with the metric);
+      phase 2, steps [A/2, A): adapt eps under the final mass;
+      at A: freeze eps = exp(log_eps_avg).
+
+    Each chain adapts its own (eps, G) — in batched mode all the
+    adaptation state carries a leading chain axis; in per-chain mode
+    `sample_chains`'s vmap provides it.  DA constants are Stan's
+    (gamma=0.05, t0=10, kappa=0.75).
+    """
+    GAMMA, T0, KAPPA = 0.05, 10.0, 0.75
+    half = num_adapt // 2
+
+    def init(position):
+        u, g = vag(position)
+        log_eps = jnp.full(u.shape, jnp.log(eps0), jnp.float32) \
+            if per_chain else jnp.asarray(jnp.log(eps0), jnp.float32)
+        zeros = jnp.zeros_like(log_eps)
+        return AdaptiveHMCState(
+            position=position, potential=u, grad=g,
+            step=jnp.asarray(0, jnp.int32),
+            log_eps=log_eps, log_eps_avg=log_eps, h_avg=zeros,
+            mu=log_eps + jnp.log(10.0),
+            mean=jax.tree.map(jnp.zeros_like, position),
+            m2=jax.tree.map(jnp.zeros_like, position),
+            mass_g=jax.tree.map(jnp.ones_like, position),
+        )
+
+    def step(key, state):
+        key_prop, key_mh = jax.random.split(key)
+        in_adapt = state.step < num_adapt
+        eps = jnp.exp(jnp.where(in_adapt, state.log_eps,
+                                state.log_eps_avg))
+
+        q, u, g, log_alpha = _hmc_proposal(
+            vag, state.position, state.potential, state.grad, key_prop,
+            eps, jitter, state.mass_g, num_leapfrog, per_chain)
+        where = _tree_where_per_chain if per_chain else (
+            lambda a, x, y: tree_where(a, x, y))
+        ushape = state.potential.shape if per_chain else ()
+        accept = jnp.isfinite(log_alpha) & (
+            jnp.log(jax.random.uniform(key_mh, ushape)) < log_alpha)
+        position = where(accept, q, state.position)
+        potential = jnp.where(accept, u, state.potential)
+        grad = where(accept, g, state.grad)
+
+        # --- dual averaging on E[accept_prob] - target ------------------
+        da_dtype = state.log_eps.dtype
+        a_prob = jnp.where(jnp.isfinite(log_alpha),
+                           jnp.exp(jnp.minimum(log_alpha, 0.0)),
+                           0.0).astype(da_dtype)
+        # step index within the current DA run (restarts at A/2)
+        t = jnp.where(state.step < half, state.step, state.step - half
+                      ).astype(da_dtype) + 1.0
+        h_avg = ((1.0 - 1.0 / (t + T0)) * state.h_avg
+                 + (target_accept - a_prob) / (t + T0)).astype(da_dtype)
+        log_eps = (state.mu - jnp.sqrt(t) / GAMMA * h_avg).astype(da_dtype)
+        eta = t ** (-KAPPA)
+        log_eps_avg = (eta * log_eps
+                       + (1.0 - eta) * state.log_eps_avg).astype(da_dtype)
+        h_avg = jnp.where(in_adapt, h_avg, state.h_avg)
+        log_eps = jnp.where(in_adapt, log_eps, state.log_eps)
+        log_eps_avg = jnp.where(in_adapt, log_eps_avg, state.log_eps_avg)
+
+        # --- Welford variance over phase-1 positions --------------------
+        n = jnp.minimum(state.step, half - 1).astype(jnp.float32) + 1.0
+        in_ph1 = state.step < half
+
+        def upd_mean(m, x):
+            d = x - m
+            return jnp.where(in_ph1, m + d / _bcast_step(n, x), m)
+
+        mean = jax.tree.map(upd_mean, state.mean, position)
+
+        def upd_m2(m2, m_old, m_new, x):
+            return jnp.where(in_ph1, m2 + (x - m_old) * (x - m_new), m2)
+
+        m2 = jax.tree.map(upd_m2, state.m2, state.mean, mean, position)
+
+        # --- the A/2 switch: freeze mass, restart dual averaging --------
+        at_switch = state.step + 1 == half
+        if adapt_mass and half > 1:
+            cnt = jnp.asarray(float(half), jnp.float32)
+
+            def reg_var(m2_):
+                var = m2_ / (cnt - 1.0)
+                return (cnt / (cnt + 5.0)) * var \
+                    + 1e-3 * (5.0 / (cnt + 5.0))
+
+            mass_g = jax.tree.map(
+                lambda G_, m2_: jnp.where(at_switch, reg_var(m2_), G_),
+                state.mass_g, m2,
+            )
+        else:
+            mass_g = state.mass_g
+        mu = jnp.where(at_switch, log_eps_avg + jnp.log(10.0),
+                       state.mu).astype(da_dtype)
+        h_avg = jnp.where(at_switch, jnp.zeros_like(h_avg), h_avg)
+        log_eps = jnp.where(at_switch, log_eps_avg, log_eps)
+
+        new_state = AdaptiveHMCState(
+            position=position, potential=potential, grad=grad,
+            step=state.step + 1, log_eps=log_eps,
+            log_eps_avg=log_eps_avg, h_avg=h_avg, mu=mu,
+            mean=mean, m2=m2, mass_g=mass_g,
+        )
+        info = {"potential": potential, "accepted": accept,
+                "step_size": jnp.exp(log_eps_avg)}
+        return new_state, info
+
+    return TransitionKernel(init, step)
+
+
+def adaptive_hmc(potential_fn: Callable, num_adapt: int,
+                 step_size: float = 0.1, target_accept: float = 0.8,
+                 num_leapfrog: int = 10, jitter: float = 0.2,
+                 adapt_mass: bool = True) -> TransitionKernel:
+    """Warmup-adaptive exact HMC over a per-chain potential (vmap across
+    chains with `sample_chains`; set burn_in >= num_adapt).  See
+    `_make_adaptive_hmc`."""
+    return _make_adaptive_hmc(jax.value_and_grad(potential_fn), step_size,
+                              num_adapt, target_accept, num_leapfrog,
+                              jitter, adapt_mass, per_chain=False)
+
+
+def adaptive_hmc_batched(potential_batch: Callable, num_adapt: int,
+                         step_size: float = 0.1,
+                         target_accept: float = 0.8,
+                         num_leapfrog: int = 10, jitter: float = 0.2,
+                         adapt_mass: bool = True) -> TransitionKernel:
+    """Warmup-adaptive exact HMC over the fused batch-potential contract:
+    every chain adapts its own step size and diagonal inverse-mass from
+    its own warmup history, all inside the one fused-kernel step loop."""
+    return _make_adaptive_hmc(batch_value_and_grad(potential_batch),
+                              step_size, num_adapt, target_accept,
+                              num_leapfrog, jitter, adapt_mass,
+                              per_chain=True)

@@ -57,7 +57,7 @@ def test_expand_grid_and_config_io(tmp_path):
 
 
 @pytest.mark.parametrize("method", ["SGLD", "pSGLD", "MALA", "aSGHMC",
-                                    "BAOAB", "HMC"])
+                                    "BAOAB", "HMC", "AdaptiveHMC"])
 def test_run_sampler_methods(tmp_path, tiny_data, method):
     cfg = tiny_config(method)
     summary = run_sampler(cfg, tiny_data, str(tmp_path), make_plots=False)
@@ -315,6 +315,17 @@ def test_run_sampler_fused_engine_hmc(tmp_path, tiny_data):
     # per-chain acceptance masks through the driver summary
     cfg = tiny_config("HMC", engine="fused", num_chains=128,
                       lr=1e-4, num_leapfrog=3, burn_in=2, num_samples=4)
+    summary = run_sampler(cfg, tiny_data, str(tmp_path), make_plots=False)
+    assert np.isfinite(summary["min_potential"])
+    assert 0.0 <= summary["acceptance"] <= 1.0
+    assert summary["num_chains"] == 128
+
+
+def test_run_sampler_fused_engine_adaptive_hmc(tmp_path, tiny_data):
+    # warmup-adaptive HMC over the fused batch potential: per-chain dual
+    # averaging + Welford mass inside the fused step loop
+    cfg = tiny_config("AdaptiveHMC", engine="fused", num_chains=128,
+                      lr=1e-4, num_leapfrog=3, burn_in=4, num_samples=4)
     summary = run_sampler(cfg, tiny_data, str(tmp_path), make_plots=False)
     assert np.isfinite(summary["min_potential"])
     assert 0.0 <= summary["acceptance"] <= 1.0
