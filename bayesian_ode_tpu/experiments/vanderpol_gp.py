@@ -143,6 +143,15 @@ def make_sampler(config: Dict, potential: Callable):
             num_leapfrog=config.get("num_leapfrog", 10),
             target_accept=config.get("target_accept", 0.8),
             jitter=config.get("eps_jitter", 0.2))
+    if method == "NUTS":
+        return samplers.nuts(potential, config["lr"],
+                             max_depth=config.get("max_depth", 10))
+    if method == "AdaptiveNUTS":
+        return samplers.adaptive_nuts(
+            potential, num_adapt=config["burn_in"],
+            step_size=config["lr"],
+            max_depth=config.get("max_depth", 10),
+            target_accept=config.get("target_accept", 0.8))
     if method == "SGRHMC":
         return samplers.sgrhmc(potential, _poly_sched(config),
                                friction=config.get("friction", 0.1),
@@ -296,6 +305,16 @@ def run_sampler(config: Dict, data: Dict, output: str,
                 num_leapfrog=config.get("num_leapfrog", 10),
                 target_accept=config.get("target_accept", 0.8),
                 jitter=config.get("eps_jitter", 0.2))
+        elif config["method"] == "NUTS":
+            kernel = samplers.nuts_batched(
+                pot_batch, config["lr"],
+                max_depth=config.get("max_depth", 10))
+        elif config["method"] == "AdaptiveNUTS":
+            kernel = samplers.adaptive_nuts_batched(
+                pot_batch, num_adapt=config["burn_in"],
+                step_size=config["lr"],
+                max_depth=config.get("max_depth", 10),
+                target_accept=config.get("target_accept", 0.8))
         else:
             kernel = samplers.sgld_batched(pot_batch, _poly_sched(config))
         jitter = config.get("jitter", 0.005)

@@ -43,6 +43,12 @@ from .langevin import (  # noqa: F401
     psgld_batched,
     sgld_batched,
 )
+from .nuts import (  # noqa: F401
+    adaptive_nuts,
+    adaptive_nuts_batched,
+    nuts,
+    nuts_batched,
+)
 from .metrics import (  # noqa: F401
     flat_hessian,
     hessian_metric,
@@ -69,6 +75,10 @@ __all__ = [
     "asgld",
     "adaptive_hmc",
     "adaptive_hmc_batched",
+    "adaptive_nuts",
+    "adaptive_nuts_batched",
+    "nuts",
+    "nuts_batched",
     "baoab",
     "baoab_batched",
     "hmc",

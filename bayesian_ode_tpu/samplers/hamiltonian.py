@@ -544,6 +544,99 @@ class AdaptiveHMCState(NamedTuple):
     mass_g: PyTree          # current diagonal inverse-mass G
 
 
+def _adaptive_init(vag, eps0, per_chain):
+    """Initial AdaptiveHMCState shared by adaptive HMC and NUTS."""
+
+    def init(position):
+        u, g = vag(position)
+        log_eps = jnp.full(u.shape, jnp.log(eps0), jnp.float32) \
+            if per_chain else jnp.asarray(jnp.log(eps0), jnp.float32)
+        zeros = jnp.zeros_like(log_eps)
+        return AdaptiveHMCState(
+            position=position, potential=u, grad=g,
+            step=jnp.asarray(0, jnp.int32),
+            log_eps=log_eps, log_eps_avg=log_eps, h_avg=zeros,
+            mu=log_eps + jnp.log(10.0),
+            mean=jax.tree.map(jnp.zeros_like, position),
+            m2=jax.tree.map(jnp.zeros_like, position),
+            mass_g=jax.tree.map(jnp.ones_like, position),
+        )
+
+    return init
+
+
+def _warmup_advance(state, position, a_prob, num_adapt, target_accept,
+                    adapt_mass):
+    """One step of the Stan-style two-phase warmup bookkeeping, shared by
+    `adaptive_hmc` and `nuts.adaptive_nuts`: dual-averaging step-size
+    update driven by this transition's accept statistic `a_prob` (the MH
+    accept probability for HMC, the trajectory-mean alpha for NUTS),
+    Welford position variance over phase 1, and the A/2 switch (freeze
+    the diagonal inverse-mass, restart dual averaging around the current
+    averaged step).  `a_prob` is a probability in [0, 1] shaped like
+    `state.log_eps`; non-finite proposals must be mapped to 0 by the
+    caller.  Returns the updated (log_eps, log_eps_avg, h_avg, mu, mean,
+    m2, mass_g) fields; the caller freezes usage after `num_adapt` via
+    `state.log_eps_avg`.
+    """
+    GAMMA, T0, KAPPA = 0.05, 10.0, 0.75
+    half = num_adapt // 2
+    in_adapt = state.step < num_adapt
+
+    # --- dual averaging on E[accept_prob] - target ------------------
+    da_dtype = state.log_eps.dtype
+    a_prob = a_prob.astype(da_dtype)
+    # step index within the current DA run (restarts at A/2)
+    t = jnp.where(state.step < half, state.step, state.step - half
+                  ).astype(da_dtype) + 1.0
+    h_avg = ((1.0 - 1.0 / (t + T0)) * state.h_avg
+             + (target_accept - a_prob) / (t + T0)).astype(da_dtype)
+    log_eps = (state.mu - jnp.sqrt(t) / GAMMA * h_avg).astype(da_dtype)
+    eta = t ** (-KAPPA)
+    log_eps_avg = (eta * log_eps
+                   + (1.0 - eta) * state.log_eps_avg).astype(da_dtype)
+    h_avg = jnp.where(in_adapt, h_avg, state.h_avg)
+    log_eps = jnp.where(in_adapt, log_eps, state.log_eps)
+    log_eps_avg = jnp.where(in_adapt, log_eps_avg, state.log_eps_avg)
+
+    # --- Welford variance over phase-1 positions --------------------
+    n = jnp.minimum(state.step, half - 1).astype(jnp.float32) + 1.0
+    in_ph1 = state.step < half
+
+    def upd_mean(m, x):
+        d = x - m
+        return jnp.where(in_ph1, m + d / _bcast_step(n, x), m)
+
+    mean = jax.tree.map(upd_mean, state.mean, position)
+
+    def upd_m2(m2, m_old, m_new, x):
+        return jnp.where(in_ph1, m2 + (x - m_old) * (x - m_new), m2)
+
+    m2 = jax.tree.map(upd_m2, state.m2, state.mean, mean, position)
+
+    # --- the A/2 switch: freeze mass, restart dual averaging --------
+    at_switch = state.step + 1 == half
+    if adapt_mass and half > 1:
+        cnt = jnp.asarray(float(half), jnp.float32)
+
+        def reg_var(m2_):
+            var = m2_ / (cnt - 1.0)
+            return (cnt / (cnt + 5.0)) * var \
+                + 1e-3 * (5.0 / (cnt + 5.0))
+
+        mass_g = jax.tree.map(
+            lambda G_, m2_: jnp.where(at_switch, reg_var(m2_), G_),
+            state.mass_g, m2,
+        )
+    else:
+        mass_g = state.mass_g
+    mu = jnp.where(at_switch, log_eps_avg + jnp.log(10.0),
+                   state.mu).astype(da_dtype)
+    h_avg = jnp.where(at_switch, jnp.zeros_like(h_avg), h_avg)
+    log_eps = jnp.where(at_switch, log_eps_avg, log_eps)
+    return log_eps, log_eps_avg, h_avg, mu, mean, m2, mass_g
+
+
 def _make_adaptive_hmc(vag, eps0, num_adapt, target_accept, num_leapfrog,
                        jitter, adapt_mass, per_chain):
     """HMC with Stan-style warmup: dual-averaging step size (Hoffman &
@@ -566,23 +659,7 @@ def _make_adaptive_hmc(vag, eps0, num_adapt, target_accept, num_leapfrog,
     `sample_chains`'s vmap provides it.  DA constants are Stan's
     (gamma=0.05, t0=10, kappa=0.75).
     """
-    GAMMA, T0, KAPPA = 0.05, 10.0, 0.75
-    half = num_adapt // 2
-
-    def init(position):
-        u, g = vag(position)
-        log_eps = jnp.full(u.shape, jnp.log(eps0), jnp.float32) \
-            if per_chain else jnp.asarray(jnp.log(eps0), jnp.float32)
-        zeros = jnp.zeros_like(log_eps)
-        return AdaptiveHMCState(
-            position=position, potential=u, grad=g,
-            step=jnp.asarray(0, jnp.int32),
-            log_eps=log_eps, log_eps_avg=log_eps, h_avg=zeros,
-            mu=log_eps + jnp.log(10.0),
-            mean=jax.tree.map(jnp.zeros_like, position),
-            m2=jax.tree.map(jnp.zeros_like, position),
-            mass_g=jax.tree.map(jnp.ones_like, position),
-        )
+    init = _adaptive_init(vag, eps0, per_chain)
 
     def step(key, state):
         key_prop, key_mh = jax.random.split(key)
@@ -602,59 +679,11 @@ def _make_adaptive_hmc(vag, eps0, num_adapt, target_accept, num_leapfrog,
         potential = jnp.where(accept, u, state.potential)
         grad = where(accept, g, state.grad)
 
-        # --- dual averaging on E[accept_prob] - target ------------------
-        da_dtype = state.log_eps.dtype
         a_prob = jnp.where(jnp.isfinite(log_alpha),
-                           jnp.exp(jnp.minimum(log_alpha, 0.0)),
-                           0.0).astype(da_dtype)
-        # step index within the current DA run (restarts at A/2)
-        t = jnp.where(state.step < half, state.step, state.step - half
-                      ).astype(da_dtype) + 1.0
-        h_avg = ((1.0 - 1.0 / (t + T0)) * state.h_avg
-                 + (target_accept - a_prob) / (t + T0)).astype(da_dtype)
-        log_eps = (state.mu - jnp.sqrt(t) / GAMMA * h_avg).astype(da_dtype)
-        eta = t ** (-KAPPA)
-        log_eps_avg = (eta * log_eps
-                       + (1.0 - eta) * state.log_eps_avg).astype(da_dtype)
-        h_avg = jnp.where(in_adapt, h_avg, state.h_avg)
-        log_eps = jnp.where(in_adapt, log_eps, state.log_eps)
-        log_eps_avg = jnp.where(in_adapt, log_eps_avg, state.log_eps_avg)
-
-        # --- Welford variance over phase-1 positions --------------------
-        n = jnp.minimum(state.step, half - 1).astype(jnp.float32) + 1.0
-        in_ph1 = state.step < half
-
-        def upd_mean(m, x):
-            d = x - m
-            return jnp.where(in_ph1, m + d / _bcast_step(n, x), m)
-
-        mean = jax.tree.map(upd_mean, state.mean, position)
-
-        def upd_m2(m2, m_old, m_new, x):
-            return jnp.where(in_ph1, m2 + (x - m_old) * (x - m_new), m2)
-
-        m2 = jax.tree.map(upd_m2, state.m2, state.mean, mean, position)
-
-        # --- the A/2 switch: freeze mass, restart dual averaging --------
-        at_switch = state.step + 1 == half
-        if adapt_mass and half > 1:
-            cnt = jnp.asarray(float(half), jnp.float32)
-
-            def reg_var(m2_):
-                var = m2_ / (cnt - 1.0)
-                return (cnt / (cnt + 5.0)) * var \
-                    + 1e-3 * (5.0 / (cnt + 5.0))
-
-            mass_g = jax.tree.map(
-                lambda G_, m2_: jnp.where(at_switch, reg_var(m2_), G_),
-                state.mass_g, m2,
-            )
-        else:
-            mass_g = state.mass_g
-        mu = jnp.where(at_switch, log_eps_avg + jnp.log(10.0),
-                       state.mu).astype(da_dtype)
-        h_avg = jnp.where(at_switch, jnp.zeros_like(h_avg), h_avg)
-        log_eps = jnp.where(at_switch, log_eps_avg, log_eps)
+                           jnp.exp(jnp.minimum(log_alpha, 0.0)), 0.0)
+        (log_eps, log_eps_avg, h_avg, mu, mean, m2, mass_g) = \
+            _warmup_advance(state, position, a_prob, num_adapt,
+                            target_accept, adapt_mass)
 
         new_state = AdaptiveHMCState(
             position=position, potential=potential, grad=grad,

@@ -57,7 +57,8 @@ def test_expand_grid_and_config_io(tmp_path):
 
 
 @pytest.mark.parametrize("method", ["SGLD", "pSGLD", "MALA", "aSGHMC",
-                                    "BAOAB", "HMC", "AdaptiveHMC"])
+                                    "BAOAB", "HMC", "AdaptiveHMC",
+                                    "NUTS", "AdaptiveNUTS"])
 def test_run_sampler_methods(tmp_path, tiny_data, method):
     cfg = tiny_config(method)
     summary = run_sampler(cfg, tiny_data, str(tmp_path), make_plots=False)
@@ -326,6 +327,17 @@ def test_run_sampler_fused_engine_adaptive_hmc(tmp_path, tiny_data):
     # averaging + Welford mass inside the fused step loop
     cfg = tiny_config("AdaptiveHMC", engine="fused", num_chains=128,
                       lr=1e-4, num_leapfrog=3, burn_in=4, num_samples=4)
+    summary = run_sampler(cfg, tiny_data, str(tmp_path), make_plots=False)
+    assert np.isfinite(summary["min_potential"])
+    assert 0.0 <= summary["acceptance"] <= 1.0
+    assert summary["num_chains"] == 128
+
+
+def test_run_sampler_fused_engine_nuts(tmp_path, tiny_data):
+    # dynamic-trajectory NUTS over the fused batch potential: per-chain
+    # tree building inside the lockstep fused step loop
+    cfg = tiny_config("NUTS", engine="fused", num_chains=128,
+                      lr=1e-4, max_depth=3, burn_in=2, num_samples=4)
     summary = run_sampler(cfg, tiny_data, str(tmp_path), make_plots=False)
     assert np.isfinite(summary["min_potential"])
     assert 0.0 <= summary["acceptance"] <= 1.0
