@@ -46,6 +46,17 @@ def make_toy_sampler(config: Dict, potential):
         return samplers.asghmc(potential, config["lr"],
                                burn_in_steps=config["burn_in"],
                                mom_decay=config.get("mom_decay", 5e-2))
+    if method == "PT":
+        # replica exchange (no reference analogue): the mixture/grid toys
+        # are exactly the targets single-temperature kernels get stuck on
+        return samplers.parallel_tempering(
+            potential,
+            samplers.temperature_ladder(
+                config.get("num_replicas", 6),
+                config.get("beta_min", 0.05)),
+            step_size=config["lr"],
+            inner=config.get("pt_inner", "mala"),
+            swap_every=config.get("swap_every", 1))
     raise ValueError(f"unknown toy sampler {method!r}")
 
 

@@ -55,6 +55,11 @@ from .metrics import (  # noqa: F401
     identity_metric,
     softabs_metric,
 )
+from .tempering import (  # noqa: F401
+    parallel_tempering,
+    parallel_tempering_batched,
+    temperature_ladder,
+)
 from .stein import (  # noqa: F401
     rbf_kernel,
     svgd,
@@ -97,6 +102,9 @@ __all__ = [
     "mala",
     "mala_batched",
     "mmala",
+    "parallel_tempering",
+    "parallel_tempering_batched",
+    "temperature_ladder",
     "psgld",
     "rbf_kernel",
     "sample_chain",

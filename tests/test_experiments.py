@@ -110,6 +110,20 @@ def test_run_toy(tmp_path):
     assert (tmp_path / "MALA" / "0_densities.pdf").exists()
 
 
+def test_run_toy_parallel_tempering(tmp_path):
+    # replica exchange on the multimodal toy (the target family the
+    # reference's single-temperature runners get stuck on)
+    cfg = {"method": "PT", "lr": 5e-2, "burn_in": 100, "num_samples": 300,
+           "num_chains": 8, "num_replicas": 4, "beta_min": 0.05, "id": 0}
+    res = run_toy(cfg, str(tmp_path), dists=("multimodal",),
+                  make_plots=False)
+    assert 0.0 < res["multimodal"]["acceptance"] <= 1.0
+    # symmetric 4-mixture: the tempered cold chain visits all quadrants,
+    # so the mean stays near the origin
+    assert abs(res["multimodal"]["mean"][0]) < 1.2
+    assert abs(res["multimodal"]["mean"][1]) < 1.2
+
+
 def test_checkpoint_roundtrip(tmp_path):
     tree = {"a": jnp.arange(6).reshape(2, 3), "b": (jnp.ones(4),
                                                     jnp.zeros(()))}
