@@ -7,6 +7,7 @@ from .chains import (  # noqa: F401
     svgd_step_sharded,
 )
 from .mesh import make_mesh, make_mesh_2d, replicated, shard_leading_axis  # noqa: F401
+from .tempering import run_parallel_tempering_sharded  # noqa: F401
 from .runtime import (  # noqa: F401
     Runtime,
     coordinator_only,
@@ -27,6 +28,7 @@ __all__ = [
     "make_mesh_2d",
     "process_slice",
     "replicated",
+    "run_parallel_tempering_sharded",
     "run_svgd_sharded",
     "sample_chain_sharded_batched",
     "sample_chains_sharded",

@@ -129,6 +129,61 @@ def test_pt_hmc_inner():
     assert float(np.asarray(infos["accepted"], float).mean()) > 0.5
 
 
+def test_pt_sharded_replica_mesh():
+    # one temperature per device over an 8-device mesh; swaps ride
+    # ppermute between neighbors.  Same physics gates as in-chip PT.
+    from bayesian_ode_tpu.parallel import (
+        make_mesh, run_parallel_tempering_sharded)
+
+    mesh = make_mesh(8, axis="replica")
+    betas = np.geomspace(1.0, 0.02, 8)
+    C = 16
+    x0 = jnp.tile(jnp.array([-3.0, -3.0]), (C, 1)) \
+        + 0.3 * jax.random.normal(jax.random.PRNGKey(0), (C, 2))
+    cold, info = run_parallel_tempering_sharded(
+        pot := BIMODAL, betas, 0.15, x0, jax.random.PRNGKey(1),
+        num_samples=1200, burn_in=400, mesh=mesh)
+    flat = np.asarray(cold).reshape(-1, 2)
+    right = float((flat[:, 0] > 0).mean())
+    assert 0.35 < right < 0.65
+    assert 0.2 < float(np.asarray(info["swap_accepted"]).mean()) < 0.95
+    assert float(np.asarray(info["accepted"], float).mean()) > 0.5
+    # per-mode geometry intact
+    left = flat[flat[:, 0] < 0]
+    assert np.allclose(left.mean(0), [-3, -3], atol=0.2)
+
+
+def test_pt_sharded_exact_on_gaussian():
+    from bayesian_ode_tpu.parallel import (
+        make_mesh, run_parallel_tempering_sharded)
+
+    cov = jnp.array([[1.0, 0.6], [0.6, 0.8]])
+    prec = jnp.linalg.inv(cov)
+
+    def pot(x):
+        return 0.5 * x @ prec @ x
+
+    mesh = make_mesh(8, axis="replica")
+    x0 = jnp.zeros((24, 2))
+    cold, _ = run_parallel_tempering_sharded(
+        pot, np.geomspace(1.0, 0.1, 8), 0.25, x0, jax.random.PRNGKey(2),
+        num_samples=800, burn_in=300, mesh=mesh)
+    flat = np.asarray(cold).reshape(-1, 2)
+    assert np.max(np.abs(flat.mean(0))) < 0.12
+    assert np.max(np.abs(np.cov(flat.T) - np.asarray(cov))) < 0.15
+
+
+def test_pt_sharded_ladder_must_match_mesh():
+    from bayesian_ode_tpu.parallel import (
+        make_mesh, run_parallel_tempering_sharded)
+
+    mesh = make_mesh(8, axis="replica")
+    with pytest.raises(ValueError):
+        run_parallel_tempering_sharded(
+            BIMODAL, np.geomspace(1.0, 0.1, 4), 0.1,
+            jnp.zeros((4, 2)), jax.random.PRNGKey(0), 10, mesh=mesh)
+
+
 def test_pt_swap_every():
     kernel = samplers.parallel_tempering(BIMODAL, LADDER, step_size=0.15,
                                          swap_every=5)
