@@ -56,8 +56,20 @@ def _build_grid(ts, step_size):
     Mirrors solvers.py:60-71.  Requires concrete (non-traced) endpoint times
     because the grid length is a static shape.
     """
-    t_start = float(ts[0])
-    t_end = float(ts[-1])
+    try:
+        # Read the endpoints on the HOST: inside a jit/scan trace even
+        # ops on concrete closure arrays get staged, so float(ts[0])
+        # would raise for perfectly concrete times.
+        ts_host = np.asarray(ts)
+    except Exception as e:  # genuinely traced times
+        raise ValueError(
+            "options={'step_size': ...} builds a static-length grid and "
+            "needs concrete (non-traced) endpoint times; pass t as a "
+            "constant (closure/numpy array), or drop step_size to step "
+            "on the output times directly"
+        ) from e
+    t_start = float(ts_host[0])
+    t_end = float(ts_host[-1])
     niters = int(np.ceil((t_end - t_start) / step_size + 1))
     grid = np.arange(niters) * step_size + t_start
     if grid[-1] > t_end:

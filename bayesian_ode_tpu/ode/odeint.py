@@ -221,11 +221,17 @@ def _check_and_canonicalize(func, y0, t, reverse=None):
 
     if t.shape[0] < 2:
         return func, t
-    if reverse is None:
-        try:
-            reverse = bool(t[1] < t[0])
-        except jax.errors.TracerBoolConversionError:
-            pass  # stay None -> dynamic sign below
+    if reverse is None and not isinstance(t, jax.core.Tracer):
+        # Resolve the direction on the HOST for any concrete t.  Inside a
+        # jit trace, jnp comparisons get staged even when both operands
+        # are concrete closure constants, so `bool(t[1] < t[0])` would
+        # raise and silently demote a constant grid to the dynamic-sign
+        # path (and break fixed-grid `step_size`, whose grid length is a
+        # static shape).  np.asarray reads the concrete values directly.
+        import numpy as _np
+
+        t_host = _np.asarray(t)
+        reverse = bool(t_host[1] < t_host[0])
     if reverse is None:
         sign = jnp.where(t[1] >= t[0], 1.0, -1.0).astype(t_dtype)
         base_func = func

@@ -39,6 +39,7 @@ from .langevin import (  # noqa: F401
     mala_batched,
     mmala,
     psgld,
+    psgld_preconditioner,
     sgld,
     psgld_batched,
     sgld_batched,
@@ -106,6 +107,7 @@ __all__ = [
     "parallel_tempering_batched",
     "temperature_ladder",
     "psgld",
+    "psgld_preconditioner",
     "rbf_kernel",
     "sample_chain",
     "sample_chains",

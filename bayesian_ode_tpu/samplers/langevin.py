@@ -394,6 +394,31 @@ class BatchPreconditionedState(NamedTuple):
     step: jax.Array
 
 
+def psgld_preconditioner(state, lambda_: float = 1e-5,
+                         chain_average: bool = True) -> PyTree:
+    """Fixed diagonal metric G = 1/(lambda + sqrt(V)) from a pSGLD warmup
+    state — the framework's validated protocol for running EXACT kernels
+    on stiff posteriors: warm up with `psgld(_batched)`, freeze the
+    preconditioner from the final state's V, and pass it as `precond` to
+    `mala_batched` / `hmc(_batched)` / `nuts(_batched)` (a FIXED,
+    position-independent metric keeps those chains exactly reversible).
+    This is how the bias-validation cross-check ran preconditioned MALA
+    on the fused GP posterior (see CLAUDE.md's sampler-bias protocol) —
+    plain MALA/HMC acceptance collapses there at any useful step size.
+
+    `chain_average` (batched states only): average G over the leading
+    chain axis so every chain shares one metric; set False for per-chain
+    states from `psgld` (no chain axis) or to keep per-chain metrics
+    (each chain is then its own reversible kernel).
+    """
+    G = jax.tree.map(lambda v: 1.0 / (lambda_ + jnp.sqrt(v)), state.v)
+    if chain_average:
+        G = jax.tree.map(
+            lambda g: jnp.broadcast_to(
+                jnp.mean(g, axis=0, keepdims=True), g.shape), G)
+    return G
+
+
 def psgld_batched(potential_batch: Callable, step_size, alpha: float = 0.99,
                   lambda_: float = 1e-5, add_noise: bool = True
                   ) -> TransitionKernel:
