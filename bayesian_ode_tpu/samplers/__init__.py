@@ -50,6 +50,11 @@ from .nuts import (  # noqa: F401
     nuts,
     nuts_batched,
 )
+from .evidence import (  # noqa: F401
+    EvidenceResult,
+    log_evidence,
+    power_ladder,
+)
 from .metrics import (  # noqa: F401
     flat_hessian,
     hessian_metric,
@@ -95,17 +100,20 @@ __all__ = [
     "guard_finite",
     "guard_finite_batched",
     "ess_per_param",
+    "EvidenceResult",
     "flat_hessian",
     "hamcmc",
     "hessian_metric",
     "identity_metric",
     "init_chains",
+    "log_evidence",
     "mala",
     "mala_batched",
     "mmala",
     "parallel_tempering",
     "parallel_tempering_batched",
     "temperature_ladder",
+    "power_ladder",
     "psgld",
     "psgld_preconditioner",
     "rbf_kernel",

@@ -1,0 +1,103 @@
+"""Marginal-likelihood estimation gates (samplers/evidence.py).
+
+The conjugate Gaussian model has a closed-form evidence, so both the
+thermodynamic-integration and stepping-stone estimators are checked
+against exact log Z — a gate the reference cannot express (it has no
+model-comparison machinery; SURVEY.md §5.5).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesian_ode_tpu import samplers
+
+
+def _gaussian_model(d=2, n=8, s0=2.0, s=0.5, seed=0):
+    rng = np.random.default_rng(seed)
+    x_true = rng.normal(0.0, s0, d)
+    y = x_true + rng.normal(0.0, s, (n, d))
+    y = jnp.asarray(y)
+
+    def log_lik_batch(pos):
+        x = pos["x"]                                        # (R, d)
+        r2 = jnp.sum((y[None, :, :] - x[:, None, :]) ** 2, axis=(1, 2))
+        return -0.5 * r2 / s**2 - 0.5 * n * d * jnp.log(2 * jnp.pi * s**2)
+
+    def log_prior_batch(pos):
+        x = pos["x"]
+        return (-0.5 * jnp.sum(x * x, axis=-1) / s0**2
+                - 0.5 * d * jnp.log(2 * jnp.pi * s0**2))
+
+    # exact evidence: complete the square over x
+    A = n / s**2 + 1.0 / s0**2
+    m = np.sum(np.asarray(y), axis=0) / s**2
+    log_z = (-0.5 * n * d * np.log(2 * np.pi * s**2)
+             - 0.5 * np.sum(np.asarray(y) ** 2) / s**2
+             - 0.5 * d * np.log(2 * np.pi * s0**2)
+             + 0.5 * d * np.log(2 * np.pi / A)
+             + 0.5 * np.sum(m**2) / A)
+    return log_lik_batch, log_prior_batch, float(log_z), (d, n, s0, s)
+
+
+def _run(K=16, C=32, num_warmup=600, num_samples=1500, seed=0):
+    log_lik, log_prior, log_z, (d, n, s0, s) = _gaussian_model(seed=seed)
+    betas = samplers.power_ladder(K)
+    # per-rung step ~ the rung target's variance 1/(beta*n/s^2 + 1/s0^2)
+    var_k = 1.0 / (betas * n / s**2 + 1.0 / s0**2)
+    init = {"x": jnp.zeros((C, d))}
+    res = samplers.log_evidence(
+        jax.random.key(seed), log_lik, log_prior, init, betas,
+        step_size=0.6 * var_k, num_warmup=num_warmup,
+        num_samples=num_samples)
+    return res, log_z
+
+
+@pytest.mark.slow
+def test_evidence_matches_conjugate_gaussian():
+    res, log_z = _run()
+    # stepping stone is unbiased given exact rung samples; TI carries
+    # trapezoid quadrature bias on a 16-rung ladder
+    assert abs(float(res.log_z_ss) - log_z) < 0.15
+    assert abs(float(res.log_z_ti) - log_z) < 0.6
+    # the two estimators agree with each other to quadrature error
+    assert abs(float(res.log_z_ti) - float(res.log_z_ss)) < 0.6
+
+
+def test_mean_loglik_monotone_and_acceptance_healthy():
+    res, _ = _run(num_warmup=400, num_samples=800, seed=1)
+    # d/dbeta E_beta[loglik] = Var_beta[loglik] >= 0
+    mll = np.asarray(res.mean_log_lik)
+    assert np.all(np.diff(mll) > -0.5)      # monotone up to MC noise
+    acc = np.asarray(res.accept_rate)
+    assert np.all(acc > 0.3) and np.all(acc <= 1.0)
+    assert res.log_lik_draws.shape[1:] == (16, 32)
+
+
+def test_ladder_validation():
+    with pytest.raises(ValueError):
+        samplers.power_ladder(1)
+    log_lik, log_prior, _, _ = _gaussian_model()
+    init = {"x": jnp.zeros((4, 2))}
+    with pytest.raises(ValueError):   # must start at 0
+        samplers.log_evidence(jax.random.key(0), log_lik, log_prior, init,
+                              betas=jnp.array([0.1, 1.0]))
+    with pytest.raises(ValueError):   # must end at 1
+        samplers.log_evidence(jax.random.key(0), log_lik, log_prior, init,
+                              betas=jnp.array([0.0, 0.9]))
+    with pytest.raises(ValueError):   # step_size shape
+        samplers.log_evidence(jax.random.key(0), log_lik, log_prior, init,
+                              num_rungs=4, step_size=jnp.ones(3))
+
+
+def test_thinning_and_scalar_step():
+    log_lik, log_prior, log_z, _ = _gaussian_model(seed=2)
+    init = {"x": jnp.zeros((16, 2))}
+    res = samplers.log_evidence(
+        jax.random.key(2), log_lik, log_prior, init, num_rungs=8,
+        step_size=5e-3, num_warmup=300, num_samples=600, thin=3)
+    assert res.log_lik_draws.shape[0] == 200
+    assert np.isfinite(float(res.log_z_ss))
+    with pytest.raises(ValueError):
+        samplers.log_evidence(jax.random.key(2), log_lik, log_prior, init,
+                              num_rungs=8, num_samples=10, thin=3)
