@@ -13,7 +13,13 @@ from .base import (
     sample_chain,
     sample_chains,
 )
-from .diagnostics import acceptance_rate, ess, ess_per_param, split_rhat  # noqa: F401
+from .diagnostics import (  # noqa: F401
+    acceptance_rate,
+    ess,
+    ess_per_param,
+    kernel_stein_discrepancy,
+    split_rhat,
+)
 from .hamcmc import hamcmc  # noqa: F401
 from .hamiltonian import (  # noqa: F401
     acsghmc,
@@ -106,6 +112,7 @@ __all__ = [
     "hessian_metric",
     "identity_metric",
     "init_chains",
+    "kernel_stein_discrepancy",
     "log_evidence",
     "mala",
     "mala_batched",

@@ -401,6 +401,45 @@ def test_diagnostics_ess_rhat():
     assert float(samplers.split_rhat(shifted)) > 1.5
 
 
+def test_kernel_stein_discrepancy():
+    key = jax.random.PRNGKey(3)
+    n, d = 800, 2
+    exact = jax.random.normal(key, (n, d))
+    score = lambda x: -x                       # N(0, I) target
+
+    ksd_exact = float(samplers.kernel_stein_discrepancy(exact, score))
+    ksd_shift = float(samplers.kernel_stein_discrepancy(exact + 1.5, score))
+    ksd_wide = float(samplers.kernel_stein_discrepancy(1.8 * exact, score))
+    assert ksd_exact < 0.5 * ksd_shift
+    assert ksd_exact < 0.5 * ksd_wide
+
+    # unbiased U-statistic is ~0 for exact samples, clearly positive for
+    # wrong ones
+    u_exact = float(samplers.kernel_stein_discrepancy(
+        exact, score, u_statistic=True))
+    u_shift = float(samplers.kernel_stein_discrepancy(
+        exact + 1.5, score, u_statistic=True))
+    assert abs(u_exact) < 0.05
+    assert u_shift > 10 * abs(u_exact)
+
+    # it sees what ESS can't: SGLD at a huge step mixes fast (high ESS)
+    # but samples a biased stationary law
+    kern = samplers.sgld_batched(
+        lambda p: 0.5 * jnp.sum(p["x"] ** 2, -1), 0.8)
+    state = kern.init({"x": jnp.zeros((n, d))})
+    ks = jax.random.split(jax.random.PRNGKey(4), 400)
+    state, _ = jax.lax.scan(lambda s, k: (kern.step(k, s)[0], None),
+                            state, ks)
+    ksd_sgld = float(samplers.kernel_stein_discrepancy(
+        state.position["x"], score))
+    assert ksd_sgld > 1.5 * ksd_exact
+
+    with pytest.raises(ValueError):
+        samplers.kernel_stein_discrepancy(exact, score, beta=0.5)
+    with pytest.raises(ValueError):
+        samplers.kernel_stein_discrepancy(exact, lambda x: x[:, :1])
+
+
 def test_sgrhmc_gaussian_moments():
     # completed SGRHMC (reference stub, hamiltonian.py:337-340)
     kernel = samplers.sgrhmc(gauss_potential, step_size=0.05, friction=0.3)
