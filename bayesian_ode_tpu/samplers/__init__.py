@@ -61,6 +61,11 @@ from .evidence import (  # noqa: F401
     log_evidence,
     power_ladder,
 )
+from .smc import (  # noqa: F401
+    SMCResult,
+    smc,
+    systematic_resample,
+)
 from .metrics import (  # noqa: F401
     flat_hessian,
     hessian_metric,
@@ -132,6 +137,9 @@ __all__ = [
     "sgld_batched",
     "sgrhmc",
     "sgrhmc_batched",
+    "SMCResult",
+    "smc",
+    "systematic_resample",
     "softabs_metric",
     "split_rhat",
     "svgd",
