@@ -66,6 +66,14 @@ from .smc import (  # noqa: F401
     smc,
     systematic_resample,
 )
+from .model_comparison import (  # noqa: F401
+    CompareResult,
+    ElpdResult,
+    compare,
+    gpd_fit,
+    psis_loo,
+    waic,
+)
 from .metrics import (  # noqa: F401
     flat_hessian,
     hessian_metric,
@@ -111,7 +119,13 @@ __all__ = [
     "guard_finite",
     "guard_finite_batched",
     "ess_per_param",
+    "CompareResult",
+    "ElpdResult",
     "EvidenceResult",
+    "compare",
+    "gpd_fit",
+    "psis_loo",
+    "waic",
     "flat_hessian",
     "hamcmc",
     "hessian_metric",
