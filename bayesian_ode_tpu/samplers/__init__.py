@@ -56,6 +56,10 @@ from .nuts import (  # noqa: F401
     nuts,
     nuts_batched,
 )
+from .ensemble import (  # noqa: F401
+    EnsembleState,
+    stretch_move,
+)
 from .evidence import (  # noqa: F401
     EvidenceResult,
     log_evidence,
@@ -121,8 +125,10 @@ __all__ = [
     "ess_per_param",
     "CompareResult",
     "ElpdResult",
+    "EnsembleState",
     "EvidenceResult",
     "compare",
+    "stretch_move",
     "gpd_fit",
     "psis_loo",
     "waic",
