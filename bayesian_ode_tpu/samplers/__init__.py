@@ -84,6 +84,17 @@ from .metrics import (  # noqa: F401
     identity_metric,
     softabs_metric,
 )
+from .vi import (  # noqa: F401
+    ADVIResult,
+    advi_log_prob,
+    fit_advi,
+    sample_advi,
+)
+from .laplace import (  # noqa: F401
+    LaplaceResult,
+    laplace_approximation,
+    sample_laplace,
+)
 from .tempering import (  # noqa: F401
     parallel_tempering,
     parallel_tempering_batched,
@@ -165,4 +176,11 @@ __all__ = [
     "svgd",
     "svgd_batched",
     "svgd_direction",
+    "ADVIResult",
+    "advi_log_prob",
+    "fit_advi",
+    "sample_advi",
+    "LaplaceResult",
+    "laplace_approximation",
+    "sample_laplace",
 ]

@@ -1,0 +1,188 @@
+"""Automatic-differentiation variational inference (ADVI) over pytree
+posteriors.
+
+Beyond the reference suite: the reference approximates posteriors only by
+MCMC (samplers/) or point MAP (optims/LBFGS.py); it has no variational
+family.  ADVI (Kucukelbir et al. 2017, JMLR 18(14)) is the standard fast
+companion — fit a Gaussian q(theta) by stochastic gradient ascent on the
+reparameterized ELBO, then use it directly, as an MCMC warm start, or as
+the preconditioner/metric for the SG-MCMC kernels here.
+
+TPU-first design: each optimization step draws `sample_size` Monte-Carlo
+samples and evaluates the potential on ALL of them at once — either by
+`vmap` of the scalar potential or, when a fused batch potential is
+supplied (the `*_batched` contract used across samplers/: chain-major
+pytree -> (S,) potentials), by ONE fused kernel launch per step.  The
+whole fit is a single `lax.scan`, so it compiles to one XLA program.
+
+Conventions match the rest of samplers/: `potential_fn(theta) -> U` with
+U = -log posterior (unnormalized); the ELBO reported is therefore a lower
+bound on log Z up to the posterior's missing normalizer.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..utils.pytree import PyTree, ravel_pytree
+
+__all__ = ["ADVIResult", "fit_advi", "sample_advi", "advi_log_prob"]
+
+
+class ADVIResult(NamedTuple):
+    """Fitted Gaussian variational posterior q(theta) = N(mu, L L^T)."""
+    mean: PyTree            # variational mean, original pytree structure
+    mu: jax.Array           # (D,) flat variational mean
+    scale_tril: jax.Array   # (D, D) lower-Cholesky factor of the covariance
+    elbo_trace: jax.Array   # (num_steps,) per-step MC ELBO estimate
+    final_elbo: jax.Array   # mean ELBO over the last 10% of steps
+    family: str             # "meanfield" | "fullrank"
+
+
+def _tril_indices(d: int):
+    return jnp.tril_indices(d)
+
+
+def _unpack_scale(family: str, rho: jax.Array, d: int) -> jax.Array:
+    """rho -> lower-Cholesky scale.  meanfield: rho=(D,) log-sigmas.
+    fullrank: rho=(D(D+1)/2,) packed row-major lower triangle with the
+    diagonal stored in log-space (keeps L's diagonal positive)."""
+    if family == "meanfield":
+        return jnp.diag(jnp.exp(rho))
+    L = jnp.zeros((d, d), rho.dtype).at[_tril_indices(d)].set(rho)
+    diag = jnp.exp(jnp.diagonal(L))
+    return L - jnp.diag(jnp.diagonal(L)) + jnp.diag(diag)
+
+
+def _log_diag(family: str, rho: jax.Array, d: int) -> jax.Array:
+    """log diag(L) without materializing L."""
+    if family == "meanfield":
+        return rho
+    idx = jnp.cumsum(jnp.arange(1, d + 1)) - 1  # positions of diagonal
+    return rho[idx]
+
+
+def _gaussian_logpdf(z, mu, scale_tril):
+    d = mu.shape[0]
+    w = jax.scipy.linalg.solve_triangular(scale_tril, z - mu, lower=True)
+    return (-0.5 * d * jnp.log(2.0 * jnp.pi)
+            - jnp.sum(jnp.log(jnp.diagonal(scale_tril)))
+            - 0.5 * jnp.sum(w * w))
+
+
+def fit_advi(key: jax.Array,
+             potential_fn: Optional[Callable[[PyTree], jax.Array]],
+             init_position: PyTree,
+             num_steps: int = 2000,
+             *,
+             sample_size: int = 8,
+             family: str = "meanfield",
+             optimizer: Optional[optax.GradientTransformation] = None,
+             learning_rate: float = 1e-2,
+             init_scale: float = 0.1,
+             stl: bool = False,
+             potential_batch: Optional[Callable[[PyTree], jax.Array]] = None
+             ) -> ADVIResult:
+    """Fit a Gaussian variational approximation to exp(-U).
+
+    Args:
+      potential_fn: scalar potential U(theta) = -log posterior.  May be
+        None if `potential_batch` is given.
+      init_position: pytree; its flattened value initializes mu.
+      family: "meanfield" (diagonal covariance; Kucukelbir §2.2) or
+        "fullrank" (dense lower-Cholesky; §2.3).
+      optimizer: any optax transform; default `optax.adam(learning_rate)`.
+      init_scale: initial per-coordinate standard deviation.
+      stl: use the sticking-the-landing estimator (Roeder, Wu & Duvenaud
+        2017): evaluate -log q(z) pathwise with the variational parameters
+        inside log q stop-gradiented.  Same ELBO in expectation; its
+        gradient estimator has zero variance at q = posterior.  Default
+        False = classic ADVI with the analytic Gaussian entropy.
+      potential_batch: optional fused batch potential mapping a pytree
+        with (S, ...) chain-major leaves to (S,) potentials — one kernel
+        launch evaluates every MC sample (the TPU fast path; same
+        contract as samplers.*_batched).
+
+    Returns an `ADVIResult`; draw from it with `sample_advi`.
+    """
+    if family not in ("meanfield", "fullrank"):
+        raise ValueError(f"unknown family {family!r}")
+    if potential_fn is None and potential_batch is None:
+        raise ValueError("need potential_fn or potential_batch")
+    vec0, unravel = ravel_pytree(init_position)
+    d = vec0.shape[0]
+    dtype = vec0.dtype
+
+    if potential_batch is not None:
+        def u_batch(zs):  # (S, D) -> (S,)
+            return potential_batch(jax.vmap(unravel)(zs))
+    else:
+        def u_batch(zs):
+            return jax.vmap(lambda z: potential_fn(unravel(z)))(zs)
+
+    if family == "meanfield":
+        rho0 = jnp.full((d,), jnp.log(init_scale), dtype)
+    else:
+        rho0 = jnp.zeros((d * (d + 1)) // 2, dtype)
+        idx = jnp.cumsum(jnp.arange(1, d + 1)) - 1
+        rho0 = rho0.at[idx].set(jnp.log(init_scale))
+
+    optimizer = optimizer or optax.adam(learning_rate)
+    params0 = (vec0, rho0)
+    opt_state0 = optimizer.init(params0)
+    # Entropy constant: H(q) = D/2 (1 + log 2pi) + sum log diag(L).
+    ent_const = 0.5 * d * (1.0 + jnp.log(2.0 * jnp.pi))
+
+    def elbo(params, eps):
+        mu, rho = params
+        scale = _unpack_scale(family, rho, d)
+        zs = mu[None, :] + eps @ scale.T              # (S, D) reparam
+        e_neg_u = -jnp.mean(u_batch(zs))
+        if stl:
+            sg_mu, sg_rho = map(jax.lax.stop_gradient, (mu, rho))
+            sg_scale = _unpack_scale(family, sg_rho, d)
+            logq = jax.vmap(lambda z: _gaussian_logpdf(z, sg_mu, sg_scale))(zs)
+            return e_neg_u - jnp.mean(logq)
+        return e_neg_u + ent_const + jnp.sum(_log_diag(family, rho, d))
+
+    grad_elbo = jax.value_and_grad(elbo)
+
+    def step(carry, key):
+        params, opt_state = carry
+        eps = jax.random.normal(key, (sample_size, d), dtype)
+        value, grads = grad_elbo(params, eps)
+        # ascend the ELBO = descend -ELBO
+        updates, opt_state = optimizer.update(
+            jax.tree.map(jnp.negative, grads), opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), value
+
+    keys = jax.random.split(key, num_steps)
+    (params, _), trace = jax.lax.scan(step, (params0, opt_state0), keys)
+    mu, rho = params
+    scale = _unpack_scale(family, rho, d)
+    tail = max(1, num_steps // 10)
+    return ADVIResult(mean=unravel(mu), mu=mu, scale_tril=scale,
+                      elbo_trace=trace, final_elbo=jnp.mean(trace[-tail:]),
+                      family=family)
+
+
+def sample_advi(result: ADVIResult, key: jax.Array, num_samples: int
+                ) -> PyTree:
+    """Draw `num_samples` from q; returns a chain-major pytree (leading
+    axis = sample), ready for the batched samplers / predictive code."""
+    _, unravel = ravel_pytree(result.mean)
+    eps = jax.random.normal(key, (num_samples, result.mu.shape[0]),
+                            result.mu.dtype)
+    zs = result.mu[None, :] + eps @ result.scale_tril.T
+    return jax.vmap(unravel)(zs)
+
+
+def advi_log_prob(result: ADVIResult, position: PyTree) -> jax.Array:
+    """log q(theta) of the fitted Gaussian at a single pytree position
+    (importance-weight / bridge diagnostics)."""
+    vec, _ = ravel_pytree(position)
+    return _gaussian_logpdf(vec, result.mu, result.scale_tril)
