@@ -672,9 +672,79 @@ def _plots_optim(out_dir, config, data, static, params, losses):
     plt.close(fig)
 
 
+def run_vi(config: Dict, data: Dict, output: str,
+           make_plots: bool = True) -> Dict[str, Any]:
+    """Posterior approximation without MCMC: method "ADVI" (mean-field or
+    full-rank Gaussian VI, config "vi_family") or "Laplace" (MAP +
+    curvature).  Beyond the reference driver (gp.py routes only optim |
+    sampler); artifact layout matches run_sampler so the plotting and
+    downstream predictive code work unchanged — `chain.npz` holds
+    `num_samples` posterior draws with a singleton sample axis."""
+    out_dir = _out_dir(output, config)
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(config, f, indent=2, default=str)
+
+    static, params0, potential, _ = build_model(config, data)
+    method = config["method"]
+    n_draws = config.get("num_samples", 1000)
+    key = jax.random.PRNGKey(config.get("seed", 0))
+
+    if method == "ADVI":
+        res = samplers.fit_advi(
+            key, potential, params0,
+            num_steps=config.get("num_iters", 2000),
+            sample_size=config.get("elbo_samples", 8),
+            family=config.get("vi_family", "meanfield"),
+            learning_rate=config.get("lr", 1e-2),
+            init_scale=config.get("init_scale", 0.1),
+            stl=bool(config.get("stl", False)))
+        draws = samplers.sample_advi(res, jax.random.split(key)[1], n_draws)
+        np.save(os.path.join(out_dir, "elbo_arr.npy"),
+                np.asarray(res.elbo_trace))
+        save_pytree(os.path.join(out_dir, "variational.npz"),
+                    {"mu": np.asarray(res.mu),
+                     "scale_tril": np.asarray(res.scale_tril)})
+        fit_scalar = {"final_elbo": float(res.final_elbo)}
+    elif method == "Laplace":
+        res = samplers.laplace_approximation(
+            potential, params0, max_iters=config.get("num_iters", 200),
+            lr=config.get("lr", 1.0))
+        draws = samplers.sample_laplace(res, jax.random.split(key)[1],
+                                        n_draws)
+        save_pytree(os.path.join(out_dir, "variational.npz"),
+                    {"mu": np.asarray(res.mu),
+                     "prec_chol": np.asarray(res.prec_chol)})
+        fit_scalar = {"log_evidence": float(res.log_evidence),
+                      "potential_at_mode": float(res.potential_at_mode)}
+    else:
+        raise ValueError(f"unknown vi method {method!r}; "
+                         "expected 'ADVI' or 'Laplace'")
+
+    # draws-as-chains: (n_draws, ...) -> (chains=n_draws, samples=1, ...)
+    positions = jax.tree.map(lambda x: np.asarray(x)[:, None], draws)
+    pots = np.asarray(jax.vmap(potential)(draws))[:, None]
+    with RunLogger(os.path.join(out_dir, "run.jsonl")) as logger:
+        summary = {"event": "summary", "method": method,
+                   "num_draws": n_draws,
+                   "min_potential": float(pots.min()),
+                   "median_potential": float(np.median(pots)),
+                   **fit_scalar}
+        logger.log(summary)
+    save_pytree(os.path.join(out_dir, "chain.npz"), positions)
+    np.save(os.path.join(out_dir, "total_loss_arr.npy"), pots)
+    if make_plots:
+        if static is None:
+            _plots_sampler_nn(out_dir, config, data, positions, pots)
+        else:
+            _plots_sampler(out_dir, config, data, static, positions, pots)
+    return summary
+
+
 def worker(config: Dict, data: Dict, output: str,
            make_plots: bool = True) -> Dict[str, Any]:
-    """Route by inf_type (gp.py:510-527)."""
+    """Route by inf_type (gp.py:510-527; "vi" is beyond the reference)."""
     if config.get("inf_type") == "optim":
         return run_optim(config, data, output, make_plots=make_plots)
+    if config.get("inf_type") == "vi":
+        return run_vi(config, data, output, make_plots=make_plots)
     return run_sampler(config, data, output, make_plots=make_plots)

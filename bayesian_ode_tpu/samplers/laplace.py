@@ -14,8 +14,8 @@ cross-check `samplers.evidence.log_evidence`'s TI / stepping-stone
 numbers (exact whenever U is quadratic, e.g. the linear-regression toy).
 
 The MAP fit reuses `optim.lbfgs_minimize` (one compiled scan); the dense
-Hessian comes from `samplers.metrics.flat_hessian` on the flattened
-parameter vector — fine at the parameter counts these posteriors have
+Hessian is two reverse sweeps on the flattened parameter vector (see the
+inline note) — fine at the parameter counts these posteriors have
 (tens; MLP fields ~100s).  For larger D, fit ADVI instead (samplers/vi.py).
 """
 from __future__ import annotations
@@ -27,7 +27,6 @@ import jax.numpy as jnp
 
 from ..optim.lbfgs import lbfgs_minimize
 from ..utils.pytree import PyTree, ravel_pytree
-from .metrics import flat_hessian
 
 __all__ = ["LaplaceResult", "laplace_approximation", "sample_laplace"]
 
@@ -54,9 +53,13 @@ def laplace_approximation(potential_fn: Callable[[PyTree], jax.Array],
     mode, value, trace, _ = lbfgs_minimize(potential_fn, init_position,
                                            max_iters=max_iters,
                                            **lbfgs_kwargs)
-    mu, _ = ravel_pytree(mode)
+    mu, unravel = ravel_pytree(mode)
     d = mu.shape[0]
-    hess = flat_hessian(potential_fn, mode)
+    # Reverse-over-reverse Hessian: `jax.hessian` (jacfwd of jacrev) would
+    # push a JVP through the potential, which fails on custom_vjp solves
+    # (odeint_adjoint); two reverse sweeps stay within what every
+    # potential here supports.
+    hess = jax.jacrev(jax.grad(lambda v: potential_fn(unravel(v))))(mu)
     hess = 0.5 * (hess + hess.T)
     ridge = jitter * jnp.mean(jnp.diagonal(hess)) * jnp.eye(d, dtype=mu.dtype)
     chol = jnp.linalg.cholesky(hess + ridge)

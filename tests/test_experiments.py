@@ -403,3 +403,35 @@ def test_make_digits_npz_layout(tmp_path):
     assert set(np.unique(y)) == set(range(10))
     # the driver rescales by /255 into [0, 1]
     assert x.max() > 200
+
+
+def test_run_vi_advi(tmp_path, tiny_data):
+    from bayesian_ode_tpu.experiments.vanderpol_gp import run_vi
+    cfg = tiny_config("ADVI", inf_type="vi", num_iters=30, lr=1e-2,
+                      num_samples=8, elbo_samples=4)
+    summary = run_vi(cfg, tiny_data, str(tmp_path), make_plots=False)
+    assert np.isfinite(summary["final_elbo"])
+    out_dir = tmp_path / "ADVI" / "1"
+    for name in ["chain.npz", "elbo_arr.npy", "variational.npz",
+                 "run.jsonl", "total_loss_arr.npy"]:
+        assert (out_dir / name).exists(), name
+    chain = np.load(out_dir / "chain.npz")
+    leaf_keys = [k for k in chain.files if k.startswith("leaf_")]
+    assert leaf_keys
+    # draws-as-chains layout: (num_samples draws, singleton sample axis, ...)
+    assert all(chain[k].shape[:2] == (8, 1) for k in leaf_keys)
+
+
+def test_run_vi_laplace_and_worker_route(tmp_path, tiny_data):
+    cfg = tiny_config("Laplace", inf_type="vi", num_iters=10, lr=1.0,
+                      num_samples=8)
+    summary = worker(cfg, tiny_data, str(tmp_path), make_plots=False)
+    assert np.isfinite(summary["log_evidence"])
+    assert np.isfinite(summary["potential_at_mode"])
+    assert (tmp_path / "Laplace" / "1" / "variational.npz").exists()
+
+
+def test_run_vi_rejects_unknown_method(tmp_path, tiny_data):
+    from bayesian_ode_tpu.experiments.vanderpol_gp import run_vi
+    with pytest.raises(ValueError, match="ADVI"):
+        run_vi(tiny_config("SGLD", inf_type="vi"), tiny_data, str(tmp_path))
