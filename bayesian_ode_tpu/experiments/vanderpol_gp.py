@@ -688,17 +688,21 @@ def run_vi(config: Dict, data: Dict, output: str,
     method = config["method"]
     n_draws = config.get("num_samples", 1000)
     key = jax.random.PRNGKey(config.get("seed", 0))
+    # Distinct streams: fit_advi's scan consumes split(key, num_steps),
+    # whose element [1] is bit-identical to split(key)[1] — drawing with
+    # the latter would replay the step-1 MC ELBO noise (ADVICE r2).
+    fit_key, draw_key = jax.random.split(key)
 
     if method == "ADVI":
         res = samplers.fit_advi(
-            key, potential, params0,
+            fit_key, potential, params0,
             num_steps=config.get("num_iters", 2000),
             sample_size=config.get("elbo_samples", 8),
             family=config.get("vi_family", "meanfield"),
             learning_rate=config.get("lr", 1e-2),
             init_scale=config.get("init_scale", 0.1),
             stl=bool(config.get("stl", False)))
-        draws = samplers.sample_advi(res, jax.random.split(key)[1], n_draws)
+        draws = samplers.sample_advi(res, draw_key, n_draws)
         np.save(os.path.join(out_dir, "elbo_arr.npy"),
                 np.asarray(res.elbo_trace))
         save_pytree(os.path.join(out_dir, "variational.npz"),
@@ -709,13 +713,13 @@ def run_vi(config: Dict, data: Dict, output: str,
         res = samplers.laplace_approximation(
             potential, params0, max_iters=config.get("num_iters", 200),
             lr=config.get("lr", 1.0))
-        draws = samplers.sample_laplace(res, jax.random.split(key)[1],
-                                        n_draws)
+        draws = samplers.sample_laplace(res, draw_key, n_draws)
         save_pytree(os.path.join(out_dir, "variational.npz"),
                     {"mu": np.asarray(res.mu),
                      "prec_chol": np.asarray(res.prec_chol)})
         fit_scalar = {"log_evidence": float(res.log_evidence),
-                      "potential_at_mode": float(res.potential_at_mode)}
+                      "potential_at_mode": float(res.potential_at_mode),
+                      "hessian_pd": bool(res.hessian_pd)}
     else:
         raise ValueError(f"unknown vi method {method!r}; "
                          "expected 'ADVI' or 'Laplace'")

@@ -38,6 +38,11 @@ class LaplaceResult(NamedTuple):
     log_evidence: jax.Array  # Laplace log Z (up to U's missing normalizer)
     potential_at_mode: jax.Array
     value_trace: jax.Array   # L-BFGS per-iteration potential values
+    # False when the (jittered) Hessian at the terminus was not positive
+    # definite (unconverged fit, saddle, flat direction > relative jitter):
+    # prec_chol/log_evidence and every sample_laplace draw are then NaN.
+    # Remedies: raise `jitter`, raise `max_iters`, or better init.
+    hessian_pd: jax.Array    # () bool
 
 
 def laplace_approximation(potential_fn: Callable[[PyTree], jax.Array],
@@ -63,11 +68,15 @@ def laplace_approximation(potential_fn: Callable[[PyTree], jax.Array],
     hess = 0.5 * (hess + hess.T)
     ridge = jitter * jnp.mean(jnp.diagonal(hess)) * jnp.eye(d, dtype=mu.dtype)
     chol = jnp.linalg.cholesky(hess + ridge)
+    # cholesky returns NaNs (not an exception) on a non-PD input under
+    # jit — surface that as a flag instead of silently poisoning
+    # log_evidence and every downstream draw (ADVICE r2).
+    hessian_pd = jnp.all(jnp.isfinite(chol))
     log_det = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
     log_z = -value + 0.5 * d * jnp.log(2.0 * jnp.pi) - 0.5 * log_det
     return LaplaceResult(mode=mode, mu=mu, prec_chol=chol,
                          log_evidence=log_z, potential_at_mode=value,
-                         value_trace=trace)
+                         value_trace=trace, hessian_pd=hessian_pd)
 
 
 def sample_laplace(result: LaplaceResult, key: jax.Array, num_samples: int

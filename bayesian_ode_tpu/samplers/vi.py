@@ -73,6 +73,14 @@ def _gaussian_logpdf(z, mu, scale_tril):
             - 0.5 * jnp.sum(w * w))
 
 
+def _gaussian_logpdf_diag(z, mu, log_sigma):
+    """Diagonal-covariance logpdf — O(D), no dense L (ADVICE r2)."""
+    d = mu.shape[0]
+    w = (z - mu) * jnp.exp(-log_sigma)
+    return (-0.5 * d * jnp.log(2.0 * jnp.pi)
+            - jnp.sum(log_sigma) - 0.5 * jnp.sum(w * w))
+
+
 def fit_advi(key: jax.Array,
              potential_fn: Optional[Callable[[PyTree], jax.Array]],
              init_position: PyTree,
@@ -138,13 +146,23 @@ def fit_advi(key: jax.Array,
 
     def elbo(params, eps):
         mu, rho = params
-        scale = _unpack_scale(family, rho, d)
-        zs = mu[None, :] + eps @ scale.T              # (S, D) reparam
+        if family == "meanfield":
+            # Diagonal path: O(S*D) — never build the (D,D) L (ADVICE r2;
+            # this is the intended big-D path, see laplace.py's pointer).
+            zs = mu[None, :] + eps * jnp.exp(rho)[None, :]
+        else:
+            scale = _unpack_scale(family, rho, d)
+            zs = mu[None, :] + eps @ scale.T          # (S, D) reparam
         e_neg_u = -jnp.mean(u_batch(zs))
         if stl:
             sg_mu, sg_rho = map(jax.lax.stop_gradient, (mu, rho))
-            sg_scale = _unpack_scale(family, sg_rho, d)
-            logq = jax.vmap(lambda z: _gaussian_logpdf(z, sg_mu, sg_scale))(zs)
+            if family == "meanfield":
+                logq = jax.vmap(
+                    lambda z: _gaussian_logpdf_diag(z, sg_mu, sg_rho))(zs)
+            else:
+                sg_scale = _unpack_scale(family, sg_rho, d)
+                logq = jax.vmap(
+                    lambda z: _gaussian_logpdf(z, sg_mu, sg_scale))(zs)
             return e_neg_u - jnp.mean(logq)
         return e_neg_u + ent_const + jnp.sum(_log_diag(family, rho, d))
 
@@ -177,7 +195,10 @@ def sample_advi(result: ADVIResult, key: jax.Array, num_samples: int
     _, unravel = ravel_pytree(result.mean)
     eps = jax.random.normal(key, (num_samples, result.mu.shape[0]),
                             result.mu.dtype)
-    zs = result.mu[None, :] + eps @ result.scale_tril.T
+    if result.family == "meanfield":
+        zs = result.mu[None, :] + eps * jnp.diagonal(result.scale_tril)
+    else:
+        zs = result.mu[None, :] + eps @ result.scale_tril.T
     return jax.vmap(unravel)(zs)
 
 

@@ -159,6 +159,36 @@ def test_laplace_evidence_cross_checks_quadratic_formula():
     np.testing.assert_allclose(res.log_evidence, log_z, atol=1e-6)
 
 
+def test_meanfield_advi_stl_diagonal_path():
+    # The meanfield STL branch uses the O(D) diagonal logpdf — check it
+    # converges to the same answer as the analytic-entropy estimator.
+    mean = jnp.array([2.0, -1.0, 0.5, 3.0])
+    sigma = jnp.array([0.5, 1.5, 0.2, 1.0])
+
+    def potential(theta):
+        return 0.5 * jnp.sum(((theta - mean) / sigma) ** 2)
+
+    res = fit_advi(KEY, potential, jnp.zeros(4), num_steps=4000,
+                   sample_size=32, learning_rate=2e-2, stl=True)
+    np.testing.assert_allclose(res.mu, mean, atol=0.05)
+    np.testing.assert_allclose(jnp.diagonal(res.scale_tril), sigma,
+                               rtol=0.08)
+
+
+def test_laplace_hessian_pd_flag():
+    potential, _, _ = _gaussian_target()
+    assert bool(laplace_approximation(potential, jnp.zeros(3)).hessian_pd)
+
+    # Saddle: dU/dx1 = -sin(x1) vanishes identically on the start line, so
+    # L-BFGS terminates at x1=0 where the Hessian has a -1 eigenvalue.
+    def saddle(theta):
+        return theta[0] ** 2 + jnp.cos(theta[1])
+
+    res = laplace_approximation(saddle, jnp.array([1.0, 0.0]))
+    assert not bool(res.hessian_pd)
+    assert not np.isfinite(float(res.log_evidence))
+
+
 def test_advi_warm_start_agrees_with_laplace_on_linreg():
     # The intended workflow: ADVI fit -> use as preconditioner/warm start.
     x, y = linreg.make_data(jax.random.PRNGKey(3))
