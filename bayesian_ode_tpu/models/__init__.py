@@ -1,5 +1,6 @@
 """ODE vector fields and target densities (reference L4, SURVEY.md §2.4)."""
 from . import (  # noqa: F401
+    cnf,
     kernel_regression,
     latent_ode,
     linear_regression,
@@ -15,6 +16,7 @@ from .toy_densities import TOY_POTENTIALS  # noqa: F401
 __all__ = [
     "DYNAMICS",
     "TOY_POTENTIALS",
+    "cnf",
     "fhn",
     "kernel_regression",
     "latent_ode",

@@ -126,12 +126,16 @@ def _has_converged(old: PyTree, new: PyTree, rtol, atol):
 
 def integrate_abm(func: Callable, y0: PyTree, ts: jax.Array, rtol: float = 1e-3,
                   atol: float = 1e-4, implicit: bool = True, max_iters: int = 4,
-                  max_order: int = _MAX_ORDER, step_size: Optional[float] = None):
+                  max_order: int = _MAX_ORDER, step_size: Optional[float] = None,
+                  host_ts=None):
     max_order = int(min(max_order, _MAX_ORDER))
     bash, m0, mrest = _padded_tables(max_order)
     width = max_order - 1
 
-    grid = ts if step_size is None else _build_grid(ts, step_size)
+    # host_ts: concrete host copy of ts for the static-length grid
+    # builder (see fixed_grid.integrate_fixed_grid).
+    grid = ts if step_size is None else _build_grid(
+        ts if host_ts is None else host_ts, step_size)
 
     def shift_in(fbuf: PyTree, fval: PyTree) -> PyTree:
         return jax.tree.map(

@@ -95,16 +95,24 @@ def _linear_interp_onto(ts, grid, ys_grid: PyTree) -> PyTree:
 
 def integrate_fixed_grid(func: Callable, y0: PyTree, ts: jax.Array, method: str,
                          step_size: Optional[float] = None,
-                         compensated: bool = False):
+                         compensated: bool = False,
+                         host_ts=None):
     """Integrate on a fixed grid, returning (ys at `ts`, stats).
 
     compensated=True carries the Kahan compensation of each `y += dy`
     (the step functions return increments, so fast-two-sum applies
     directly) — long f32 grids stop accumulating per-step rounding.
+
+    `host_ts` (numpy, optional) is the concrete host-side copy of `ts`
+    that odeint's canonicalization stashes (`options["_t_host"]`): the
+    static-length grid builder reads its endpoints from it so
+    `step_size` keeps working when the device `ts` was produced inside
+    a jit trace.
     """
     step = STEP_FUNCS[method]
 
-    grid = ts if step_size is None else _build_grid(ts, step_size)
+    grid = ts if step_size is None else _build_grid(
+        ts if host_ts is None else host_ts, step_size)
 
     def body(carry, t01):
         y, comp = carry

@@ -82,7 +82,8 @@ def _solve_fixed(method):
     def solve(func, y0, ts, rtol, atol, options):
         return integrate_fixed_grid(func, y0, ts, method,
                                     options.get("step_size"),
-                                    options.get("compensated", False))
+                                    options.get("compensated", False),
+                                    host_ts=options.get("_t_host"))
 
     return solve
 
@@ -97,6 +98,7 @@ def _solve_fixed_adams(implicit):
             max_iters=options.get("max_iters", 4),
             max_order=options.get("max_order", 12),
             step_size=options.get("step_size"),
+            host_ts=options.get("_t_host"),
         )
 
     return solve
@@ -210,14 +212,24 @@ def _check_and_canonicalize(func, y0, t, reverse=None):
         integrated correctly rather than silently treated as increasing
         (round-1 behavior; VERDICT r1 weak #4).
     """
-    t = jnp.asarray(t)
-    if t.ndim != 1:
-        raise ValueError(f"t must be 1-D, got shape {t.shape}")
+    import numpy as _np
+
     # Keep time in the highest precision available (f64 under the x64 CPU
     # accuracy gates, f32 on TPU) regardless of the state dtype — mirrors the
     # reference pinning solver time to float64 (solvers.py:28).
     t_dtype = jax.dtypes.canonicalize_dtype(jnp.float64)
-    t = t.astype(t_dtype)
+    if isinstance(t, jax.core.Tracer):
+        t = t.astype(t_dtype)
+    else:
+        # Concrete times stay HOST-side (numpy) through canonicalization:
+        # inside a jit trace EVERY jnp op — even jnp.asarray of a Python
+        # list — stages to a tracer, which would silently demote constant
+        # time grids to the dynamic-sign path below and break fixed-grid
+        # `step_size` (whose grid length is a static shape).  Numpy arrays
+        # flow into the solvers as foldable constants either way.
+        t = _np.asarray(t).astype(t_dtype)
+    if t.ndim != 1:
+        raise ValueError(f"t must be 1-D, got shape {t.shape}")
 
     if t.shape[0] < 2:
         return func, t
@@ -243,6 +255,9 @@ def _check_and_canonicalize(func, y0, t, reverse=None):
     elif reverse:
         base_func = func
         func = lambda s, y: jax.tree.map(jnp.negative, base_func(-s, y))
+        # concrete t is numpy here, so the negation stays host-side and
+        # fixed-grid `step_size` keeps concrete endpoints (e.g. CNF
+        # log_prob's decreasing data->base grid under jit)
         t = -t
     return func, t
 
@@ -263,6 +278,14 @@ def odeint_with_stats(func: Callable, y0: PyTree, t, rtol: float = 1e-7,
     func, y0, unpack = _complex_to_real(func, y0)
     func, t = _check_and_canonicalize(func, y0, t,
                                       reverse=options.pop("reverse", None))
+    if not isinstance(t, jax.core.Tracer):
+        # Concrete times come back as a HOST (numpy) array so the direction
+        # flip above stayed concrete even inside a jit trace.  Stash the
+        # host copy for the static-length grid builders (fixed-grid /
+        # fixed-Adams `step_size`), then hand the solvers a device array —
+        # they index it dynamically (ts[i] under scan/while tracers).
+        options["_t_host"] = t
+        t = jnp.asarray(t)
 
     if t.shape[0] < 2:
         # "No integration" edge case: t == t[0:1] returns y0 with a leading

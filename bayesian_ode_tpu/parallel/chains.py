@@ -178,19 +178,21 @@ def gp_dopri5_solve_sharded(A, x0, ts, static, mesh: Mesh,
 
 
 def _local_svgd_phi(p_local, s_all, p_all, axis: str,
-                    sigma: Optional[float]):
-    """This device's rows of phi(X) from gathered positions/scores."""
+                    sigma: Optional[float],
+                    median_subsample: Optional[int] = 256):
+    """This device's rows of phi(X) from gathered positions/scores.
+
+    Bandwidth comes from the GATHERED ensemble (tiled all_gather preserves
+    the global particle order, so stein.rbf_bandwidth on p_all — including
+    its first-k-rows median subsample — is bit-identical to the
+    single-chip kernel's), computed redundantly per device: collective-free
+    beyond the position/score gathers."""
+    from ..samplers.stein import rbf_bandwidth
+
     n = p_all.shape[0]
     n_local = p_local.shape[0]
     d2_local = pairwise_sq_dists(p_local, p_all)        # (n_local, n)
-    if sigma is None:
-        # exact global median via the full gathered matrix (identical to
-        # the single-chip stein.rbf_kernel semantics)
-        d2_full = pairwise_sq_dists(p_all, p_all)
-        h = jnp.median(d2_full) / (2.0 * jnp.log(n + 1.0))
-        gamma = 1.0 / (1e-8 + 2.0 * h)
-    else:
-        gamma = 1.0 / (1e-8 + 2.0 * jnp.asarray(sigma) ** 2)
+    gamma = rbf_bandwidth(p_all, sigma, median_subsample)
     K_local = jnp.exp(-gamma * d2_local)
     ksum = jnp.sum(K_local, axis=1)
     grad_K = 2.0 * gamma * (p_local * ksum[:, None] - K_local @ p_all)
@@ -199,12 +201,15 @@ def _local_svgd_phi(p_local, s_all, p_all, axis: str,
 
 def run_svgd_sharded(potential_fn: Callable, particles, lr, num_steps: int,
                      mesh: Mesh, axis: str = "particle",
-                     sigma: Optional[float] = None):
+                     sigma: Optional[float] = None,
+                     median_subsample: Optional[int] = 256):
     """Scan `num_steps` sharded SVGD updates in one jitted program.
 
     particles: (n, P) with n divisible by the mesh axis size.  Per step,
     each device computes local scores, all-gathers positions + scores over
     the `axis` (ICI), and applies its local rows of phi.
+    `median_subsample` as in samplers.svgd (must match it for
+    sharded == single-chip bit equality).
     """
     grad_fn = jax.grad(potential_fn)
 
@@ -213,7 +218,8 @@ def run_svgd_sharded(potential_fn: Callable, particles, lr, num_steps: int,
             scores_local = -jax.vmap(grad_fn)(p_local)
             p_all = jax.lax.all_gather(p_local, axis, tiled=True)
             s_all = jax.lax.all_gather(scores_local, axis, tiled=True)
-            phi = _local_svgd_phi(p_local, s_all, p_all, axis, sigma)
+            phi = _local_svgd_phi(p_local, s_all, p_all, axis, sigma,
+                                  median_subsample)
             return p_local + lr * phi, None
 
         p_local, _ = jax.lax.scan(body, p_local, None, length=num_steps)

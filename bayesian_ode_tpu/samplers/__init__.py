@@ -101,6 +101,7 @@ from .tempering import (  # noqa: F401
     temperature_ladder,
 )
 from .stein import (  # noqa: F401
+    rbf_bandwidth,
     rbf_kernel,
     svgd,
     svgd_batched,
@@ -159,6 +160,7 @@ __all__ = [
     "power_ladder",
     "psgld",
     "psgld_preconditioner",
+    "rbf_bandwidth",
     "rbf_kernel",
     "sample_chain",
     "sample_chains",

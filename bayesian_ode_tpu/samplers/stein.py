@@ -9,7 +9,10 @@ This is a full implementation of Liu & Wang (2016) over particle ensembles:
 
 with the RBF kernel and median-heuristic bandwidth of the reference's
 `RBFKernel` (stein.py:22-34): gamma = 1/(1e-8 + 2 sigma^2),
-sigma^2 = median(d^2) / (2 log(n+1)), median computed by sort under jit.
+sigma^2 = median(d^2) / (2 log(n+1)), median computed by sort under jit —
+exactly for ensembles up to `median_subsample` (default 256), on a
+first-k-rows submatrix above that (the exact n^2 sort is ~43 ms at 4096
+particles on a v5e, 20x the fused score pass; see rbf_bandwidth).
 
 The n x n kernel matrix runs through an optionally Pallas-tiled pairwise
 kernel (ops/pallas_rbf.py) on TPU; the multi-chip path all-gathers
@@ -28,19 +31,38 @@ from . import schedules
 from .base import TransitionKernel
 
 
+def rbf_bandwidth(X: jax.Array, sigma: Optional[float] = None,
+                  median_subsample: Optional[int] = None):
+    """gamma for the RBF kernel: 1/(1e-8 + 2 sigma^2) when sigma is given,
+    else the median heuristic sigma^2 = median(d^2) / (2 log(n+1))
+    (stein.py:22-34).
+
+    The exact median sorts all n^2 pairwise distances on device — at 4096
+    particles that sort is ~43 ms on a v5e, 20x the fused score pass
+    (measured 2026-08-20).  `median_subsample=k` computes the median on the
+    first-k-rows d^2 submatrix instead (k^2 pairs): particles are
+    exchangeable, so this is a plain k^2-pair sample of the distance
+    distribution — measured within ~2% of the exact bandwidth at k=256 —
+    while log(n+1) keeps the TRUE ensemble size.  None = exact.
+    """
+    if sigma is not None:
+        return 1.0 / (1e-8 + 2.0 * jnp.asarray(sigma) ** 2)
+    n = X.shape[0]
+    sub = X if median_subsample is None or n <= median_subsample \
+        else X[:median_subsample]
+    d2 = pairwise_sq_dists(sub, sub)
+    h = jnp.median(d2) / (2.0 * jnp.log(n + 1.0))
+    return 1.0 / (1e-8 + 2.0 * h)
+
+
 def rbf_kernel(X: jax.Array, Y: jax.Array, sigma: Optional[float] = None):
     """K[i, j] = exp(-gamma * ||X_i - Y_j||^2); returns (K, gamma).
 
-    Median-heuristic bandwidth when sigma is None (stein.py:22-34).
+    Median-heuristic bandwidth when sigma is None (stein.py:22-34),
+    exact over all pairs of X.
     """
-    d2 = pairwise_sq_dists(X, Y)
-    if sigma is None:
-        h = jnp.median(d2) / (2.0 * jnp.log(X.shape[0] + 1.0))
-        sigma2 = h
-    else:
-        sigma2 = jnp.asarray(sigma) ** 2
-    gamma = 1.0 / (1e-8 + 2.0 * sigma2)
-    return jnp.exp(-gamma * d2), gamma
+    gamma = rbf_bandwidth(X, sigma)
+    return jnp.exp(-gamma * pairwise_sq_dists(X, Y)), gamma
 
 
 def pairwise_sq_dists(X, Y):
@@ -53,15 +75,19 @@ def pairwise_sq_dists(X, Y):
 
 
 def svgd_direction(particles: jax.Array, scores: jax.Array,
-                   sigma: Optional[float] = None):
+                   sigma: Optional[float] = None,
+                   median_subsample: Optional[int] = None):
     """phi(X) for particles (n, d) and score(X) = -grad U (n, d).
 
     grad_{x_j} k(x_j, x_i) = 2 gamma (x_i - x_j) k(x_j, x_i), summed over j:
     sum_j grad K = 2 gamma (x_i * sum_j K_ij - sum_j K_ij x_j) — computed
     with matmuls (no autograd pass needed, unlike stein.py:75-86).
+    `median_subsample` bounds the bandwidth median's sort (rbf_bandwidth);
+    None = exact over all n^2 pairs.
     """
     n = particles.shape[0]
-    K, gamma = rbf_kernel(particles, particles, sigma)
+    gamma = rbf_bandwidth(particles, sigma, median_subsample)
+    K = jnp.exp(-gamma * pairwise_sq_dists(particles, particles))
     ksum = jnp.sum(K, axis=1)
     grad_K = 2.0 * gamma * (particles * ksum[:, None] - K @ particles)
     return (K @ scores + grad_K) / n
@@ -106,20 +132,27 @@ def _svgd_apply(state, phi, lr, adagrad, alpha=0.9, fudge=1e-6):
 
 
 def svgd(potential_fn: Callable, step_size, sigma: Optional[float] = None,
-         use_pallas: str = "auto", median_subsample: int = 2048,
+         use_pallas: str = "auto", median_subsample: Optional[int] = 256,
          adagrad: bool = False) -> TransitionKernel:
     """SVGD kernel over a particle ensemble.
 
     `init` takes a pytree template whose leaves have a leading particle
     axis (n, ...); internally particles are flattened to (n, P).  The
-    per-particle score is -grad potential_fn (vmapped).
+    per-particle score is -grad potential_fn (vmapped); the potential
+    values ride the same fused forward+backward pass (value_and_grad), so
+    `info["potential"]` reports the PRE-update ensemble mean (the
+    post-update value would cost a second full potential evaluation per
+    step — measured at ~0.2-3 ms/step on the GP posterior, 2026-08-20).
 
     use_pallas: "auto" switches to the tiled Pallas TPU kernel
     (ops/pallas_rbf.py) for >= 4096 particles on TPU — it streams the
     n x n kernel matrix through VMEM tiles instead of materializing it in
-    HBM; with the median bandwidth heuristic, the median is then computed
-    on a `median_subsample` particle subset (exact medians need the full
-    matrix).  "never"/"always" force the choice.
+    HBM.  "never"/"always" force the choice.
+
+    median_subsample bounds the median-heuristic bandwidth sort
+    (rbf_bandwidth): exact for ensembles up to that size, a
+    first-k-rows-submatrix estimate above it (the exact n^2-pair sort
+    dominates the whole step beyond ~1k particles).  None = always exact.
 
     adagrad=True applies Liu & Wang's AdaGrad-with-momentum step control
     (see _svgd_apply) — required on raw ODE posteriors, whose score
@@ -137,13 +170,11 @@ def svgd(potential_fn: Callable, step_size, sigma: Optional[float] = None,
     def step(key, state):
         lr = sched(state.step)
         unravel = unravel_ref[0]
-        grad_fn = jax.grad(lambda v: potential_fn(unravel(v)))
-        scores = -jax.vmap(grad_fn)(state.particles)
-        phi = _phi_dispatch(state.particles, scores, sigma, use_pallas,
+        vg = jax.value_and_grad(lambda v: potential_fn(unravel(v)))
+        pots, grads = jax.vmap(vg)(state.particles)
+        phi = _phi_dispatch(state.particles, -grads, sigma, use_pallas,
                             median_subsample)
         new_state = _svgd_apply(state, phi, lr, adagrad)
-        pots = jax.vmap(lambda v: potential_fn(unravel(v)))(
-            new_state.particles)
         info = {"potential": jnp.mean(pots), "accepted": jnp.asarray(True),
                 "step_size": lr}
         return new_state, info
@@ -163,22 +194,16 @@ def _phi_dispatch(particles, scores, sigma, use_pallas, median_subsample):
     else:
         pallas = n >= 4096 and jax.default_backend() not in ("cpu",)
     if not pallas:
-        return svgd_direction(particles, scores, sigma)
+        return svgd_direction(particles, scores, sigma, median_subsample)
     from ..ops.pallas_rbf import svgd_phi_pallas
 
-    if sigma is None:
-        sub = particles[: min(median_subsample, n)]
-        d2 = pairwise_sq_dists(sub, sub)
-        h = jnp.median(d2) / (2.0 * jnp.log(n + 1.0))
-        gamma = 1.0 / (1e-8 + 2.0 * h)
-    else:
-        gamma = 1.0 / (1e-8 + 2.0 * jnp.asarray(sigma) ** 2)
+    gamma = rbf_bandwidth(particles, sigma, median_subsample)
     return svgd_phi_pallas(particles, scores, gamma)
 
 
 def svgd_batched(potential_batch: Callable, step_size,
                  sigma: Optional[float] = None, use_pallas: str = "auto",
-                 median_subsample: int = 2048,
+                 median_subsample: Optional[int] = 256,
                  adagrad: bool = False) -> TransitionKernel:
     """SVGD whose scores come from a BATCHED potential — leaves carry a
     leading particle axis (n, ...) and the potential returns (n,) — so the
@@ -187,7 +212,9 @@ def svgd_batched(potential_batch: Callable, step_size,
     ops/gp_dopri5_grad.make_fused_gp_potential_dopri5, ops/mlp_rk4).
 
     Same update as `svgd` (Liu & Wang phi with the reference's RBF
-    median-heuristic kernel, stein.py:22-34, and the same optional
+    median-heuristic kernel, stein.py:22-34, the same bounded-median
+    bandwidth via `median_subsample`, the same pre-update
+    `info["potential"]` riding the score pass, and the same optional
     AdaGrad step control); only the score plumbing differs.
     BASELINE.json configs[4] is this kernel at 64-1024 particles (plus
     the >= 4096 Pallas-tile regime)."""
@@ -204,13 +231,12 @@ def svgd_batched(potential_batch: Callable, step_size,
         def pot_sum(flat):
             return jnp.sum(potential_batch(jax.vmap(unravel)(flat)))
 
-        scores = -jax.grad(pot_sum)(state.particles)
-        phi = _phi_dispatch(state.particles, scores, sigma, use_pallas,
+        total, grads = jax.value_and_grad(pot_sum)(state.particles)
+        phi = _phi_dispatch(state.particles, -grads, sigma, use_pallas,
                             median_subsample)
         new_state = _svgd_apply(state, phi, lr, adagrad)
-        pots = potential_batch(jax.vmap(unravel)(new_state.particles))
-        info = {"potential": jnp.mean(pots), "accepted": jnp.asarray(True),
-                "step_size": lr}
+        info = {"potential": total / state.particles.shape[0],
+                "accepted": jnp.asarray(True), "step_size": lr}
         return new_state, info
 
     return TransitionKernel(init, step)

@@ -554,6 +554,54 @@ def test_guard_finite_freezes_divergent_chain():
         pos[first_bad], pos[first_bad:].shape))
 
 
+def test_rbf_bandwidth_subsample():
+    # first-k-rows submatrix median vs the exact n^2 median: exchangeable
+    # particles make the submatrix a plain k^2-pair sample, so the
+    # bandwidth estimate must land within a few percent on a non-trivial
+    # (bimodal, anisotropic) cloud
+    key = jax.random.PRNGKey(7)
+    k1, k2, k3 = jax.random.split(key, 3)
+    a = jax.random.normal(k1, (2048, 8)) * jnp.arange(1.0, 9.0)
+    b = jax.random.normal(k2, (2048, 8)) + 5.0
+    X = jnp.concatenate([a, b])
+    X = jax.random.permutation(k3, X)  # exchangeable order
+    from bayesian_ode_tpu.samplers.stein import rbf_bandwidth
+
+    g_exact = float(rbf_bandwidth(X))
+    g_sub = float(rbf_bandwidth(X, median_subsample=256))
+    assert abs(jnp.log(g_sub / g_exact)) < 0.1, (g_exact, g_sub)
+
+    # at or below the subsample size the path is bit-identical to exact
+    g_small_exact = rbf_bandwidth(X[:256])
+    g_small_sub = rbf_bandwidth(X[:256], median_subsample=256)
+    assert float(g_small_exact) == float(g_small_sub)
+
+    # fixed sigma ignores the subsample entirely
+    assert float(rbf_bandwidth(X, sigma=1.3)) == float(
+        rbf_bandwidth(X, sigma=1.3, median_subsample=4))
+
+
+def test_svgd_info_potential_rides_score_pass():
+    # info["potential"] is the PRE-update ensemble mean, evaluated in the
+    # same value_and_grad pass as the scores (no second potential call)
+    kernel = samplers.svgd(gauss_potential, step_size=0.3)
+    particles = jax.random.normal(jax.random.PRNGKey(3), (64, 2)) * 2.0
+    state = kernel.init(particles)
+    _, info = kernel.step(jax.random.PRNGKey(0), state)
+    expected = jnp.mean(jax.vmap(gauss_potential)(particles))
+    np.testing.assert_allclose(float(info["potential"]), float(expected),
+                               rtol=1e-6)
+
+    def gauss_batched(x):
+        return jax.vmap(gauss_potential)(x)
+
+    kb = samplers.svgd_batched(gauss_batched, step_size=0.3)
+    sb = kb.init(particles)
+    _, info_b = kb.step(jax.random.PRNGKey(0), sb)
+    np.testing.assert_allclose(float(info_b["potential"]), float(expected),
+                               rtol=1e-6)
+
+
 def test_svgd_batched_matches_svgd():
     # svgd_batched (fused-potential score plumbing) must take the exact
     # same deterministic flow as svgd when the batched potential is the
