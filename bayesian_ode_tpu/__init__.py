@@ -7,6 +7,8 @@ solver stack with continuous-adjoint gradients, stochastic-gradient MCMC
 samplers as pure transition kernels vmapped across chains, L-BFGS MAP
 optimization, and nonparametric ODE models.
 """
+from . import sde  # noqa: F401
+from .sde import sdeint  # noqa: F401
 from .ode import (  # noqa: F401
     SOLVERS,
     DenseSolution,

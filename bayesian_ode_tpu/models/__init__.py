@@ -3,6 +3,7 @@ from . import (  # noqa: F401
     cnf,
     kernel_regression,
     latent_ode,
+    latent_sde,
     linear_regression,
     mlp,
     odenet,
@@ -20,6 +21,7 @@ __all__ = [
     "fhn",
     "kernel_regression",
     "latent_ode",
+    "latent_sde",
     "linear_regression",
     "lv",
     "make_dataset",

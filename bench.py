@@ -47,6 +47,7 @@ if __name__ == "__main__" and os.environ.get("BENCH_INNER") != "1" \
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from bayesian_ode_tpu.utils import enable_persistent_cache
 
@@ -197,11 +198,11 @@ def _fused_gp_setup(data, static, params0, n_chains):
     return pos0, pot, C
 
 
-def _time_kernel_ess(kernel, pos0, C, num_samples, burn_in):
-    """Compile + warm, then time one sampling run and reduce the logsn
-    marginals to effective samples/sec (the measurement protocol every
-    fused phase shares; 400-sample windows — shorter ones saturate the
-    FFT-ESS estimator)."""
+def _time_kernel_ess(kernel, pos0, C, num_samples, burn_in, leaf="logsn"):
+    """Compile + warm, then time one sampling run and reduce the `leaf`
+    marginals (logsn for the ODE posteriors, logsd for NPSDE) to effective
+    samples/sec (the measurement protocol every fused phase shares;
+    400-sample windows — shorter ones saturate the FFT-ESS estimator)."""
     from bayesian_ode_tpu import samplers
 
     state = kernel.init(pos0)
@@ -211,7 +212,7 @@ def _time_kernel_ess(kernel, pos0, C, num_samples, burn_in):
     t0 = time.perf_counter()
     _, positions, _ = jax.block_until_ready(run(state, jax.random.PRNGKey(9)))
     dt = time.perf_counter() - t0
-    kept = jnp.swapaxes(positions["logsn"], 0, 1)      # (C, samples, 2)
+    kept = jnp.swapaxes(positions[leaf], 0, 1)         # (C, samples, 2)
     ess0 = float(samplers.ess(kept[:, :, 0]))
     ess1 = float(samplers.ess(kept[:, :, 1]))
     steps = num_samples + burn_in
@@ -251,6 +252,46 @@ def fused_psgld_effective_samples(data, static, params0, kr, n_chains,
     pos0, pot, C = _fused_gp_setup(data, static, params0, n_chains)
     kernel = samplers.psgld_batched(pot, 2e-3)
     return _time_kernel_ess(kernel, pos0, C, num_samples, burn_in)
+
+
+def npsde_psgld_effective_samples(static, params0, n_chains, num_samples,
+                                  burn_in, sigma=0.1):
+    """NPSDE (beyond reference — the diffusion half of the npde lineage):
+    Bayesian GP-drift + constant-diffusion inference on Van der Pol SDE
+    paths under the Euler-Maruyama transition pseudo-likelihood
+    (sde.make_gp_sde_potential_batched).
+
+    There is NO ODE solve here: the EM likelihood needs the drift only at
+    the data points, and K(X, Z) is shared by every chain, so the whole
+    batch potential is ONE (N, M^2) x (M^2, C*D) matmul — pure MXU work.
+    The step rate is consequently launch/elementwise-bound, far above the
+    solve-bound ODE phases."""
+    from bayesian_ode_tpu import samplers, sde
+    from bayesian_ode_tpu.models import dynamics
+
+    f32 = jnp.float32
+    ts = np.linspace(0.0, 6.0, 60)
+    y0 = 1.5 * jax.random.normal(jax.random.PRNGKey(3), (5, 2))
+    ys = sde.sdeint(dynamics.vdp, lambda t, y: jnp.full_like(y, sigma),
+                    y0, ts, jax.random.PRNGKey(4), options={"substeps": 10})
+    Y = jnp.moveaxis(ys, 0, 1).astype(f32)              # (R, T, 2)
+
+    C = ((n_chains + 127) // 128) * 128
+    static32 = static._replace(
+        Z=static.Z.astype(f32), KzzinvL=static.KzzinvL.astype(f32),
+        Kzzinv=static.Kzzinv.astype(f32),
+    )
+    pot = sde.make_gp_sde_potential_batched(static32, ts.astype(np.float32),
+                                            Y)
+    pos0 = {
+        "U": params0["U"].astype(f32)[None] + 0.005 * jax.random.normal(
+            jax.random.PRNGKey(1), (C, 36, 2), f32),
+        "logsd": jnp.full((C, 2), np.log(sigma), f32)
+        + 0.005 * jax.random.normal(jax.random.PRNGKey(2), (C, 2), f32),
+    }
+    kernel = samplers.psgld_batched(pot, 2e-3)
+    return _time_kernel_ess(kernel, pos0, C, num_samples, burn_in,
+                            leaf="logsd")
 
 
 def fused_asghmc_effective_samples(data, static, params0, kr, n_chains,
@@ -573,7 +614,8 @@ def spiral_adjoint_throughput(n_iters=100, data_size=1000, batch_time=10,
 
 
 _OPTIONAL_PHASES = ("peak", "sgld", "sgld_dopri5", "nn_dopri5", "svgd",
-                    "psgld", "asghmc", "hamcmc", "spiral", "baseline")
+                    "psgld", "asghmc", "npsde", "hamcmc", "spiral",
+                    "baseline")
 
 
 class _PhaseSkipped(Exception):
@@ -756,6 +798,19 @@ def main():
     # — rejected.
     # Momentum decorrelates ~1.5x faster than pSGLD's preconditioner per
     # wall-second at the same fused step rate.
+    ns_eff, ns_sps, ns_C = 0.0, 0.0, 0
+    if "npsde" in phases:
+        try:
+            ns_eff, ns_sps, ns_dt, ns_C = _retry(
+                npsde_psgld_effective_samples, static, params0, args.chains,
+                args.samples, args.burn_in,
+            )
+            print(f"# npsde psgld (batched EM likelihood, {ns_C} chains): "
+                  f"{ns_sps:.0f} steps/s, {ns_eff:.0f} ess/s, {ns_dt:.2f}s",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"# npsde phase skipped: {e}", file=sys.stderr)
+
     h_eff, h_sps, h_dt = 0.0, 0.0, 0.0
     if "asghmc" in phases:
         h_eff, h_sps, h_dt, _ = _retry(
@@ -870,6 +925,11 @@ def main():
              "phi_rms": round(r["phi_rms"], 6)}
             for r in svgd_results
         ],
+        # NPSDE (beyond reference): pSGLD over the batched EM
+        # transition pseudo-likelihood (sde.make_gp_sde_potential_batched)
+        "npsde_psgld_steps_per_sec": round(ns_sps, 1),
+        "npsde_psgld_effective_samples_per_sec": round(ns_eff, 2),
+        "npsde_chains": ns_C,
         # BASELINE configs[3]: HAMCMC (vmapped generic engine)
         "hamcmc_steps_per_sec": round(hm_sps, 1),
         "hamcmc_effective_samples_per_sec": round(hm_eff, 2),

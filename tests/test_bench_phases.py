@@ -25,6 +25,17 @@ def test_hamcmc_phase_smoke():
 
 
 @pytest.mark.slow
+def test_npsde_phase_smoke():
+    # beyond-reference NPSDE phase: batched EM pseudo-likelihood pSGLD
+    _, static, params0, _ = bench.build_problem()
+    eff, sps, dt, C = bench.npsde_psgld_effective_samples(
+        static, params0, n_chains=128, num_samples=6, burn_in=6
+    )
+    assert sps > 0 and dt > 0 and C == 128
+    assert np.isfinite(eff)
+
+
+@pytest.mark.slow
 def test_spiral_phase_smoke():
     # BASELINE configs[1]: spiral neural-ODE fit, dopri5 + adjoint
     adj, disc, adj_loss, disc_loss = bench.spiral_adjoint_throughput(
