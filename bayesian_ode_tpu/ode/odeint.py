@@ -227,7 +227,13 @@ def _check_and_canonicalize(func, y0, t, reverse=None):
         # time grids to the dynamic-sign path below and break fixed-grid
         # `step_size` (whose grid length is a static shape).  Numpy arrays
         # flow into the solvers as foldable constants either way.
-        t = _np.asarray(t).astype(t_dtype)
+        try:
+            t = _np.asarray(t).astype(t_dtype)
+        except jax.errors.TracerArrayConversionError:
+            # a list/tuple MIXING concrete and traced scalars (e.g.
+            # [0.0, t1_tracer]): stack to a traced array and take the
+            # dynamic-sign path, as pre-r3 (ADVICE r3)
+            t = jnp.asarray(t).astype(t_dtype)
     if t.ndim != 1:
         raise ValueError(f"t must be 1-D, got shape {t.shape}")
 

@@ -48,8 +48,16 @@ def rbf_bandwidth(X: jax.Array, sigma: Optional[float] = None,
     if sigma is not None:
         return 1.0 / (1e-8 + 2.0 * jnp.asarray(sigma) ** 2)
     n = X.shape[0]
-    sub = X if median_subsample is None or n <= median_subsample \
-        else X[:median_subsample]
+    if median_subsample is None or n <= median_subsample:
+        sub = X
+    else:
+        # STRIDED rows, not the first k: structured inits (meshgrid /
+        # per-mode-contiguous / shard-major layouts) are not exchangeable
+        # in their leading rows, and a first-k slice would median one
+        # corner of the cloud (ADVICE r3).  A fixed stride samples the
+        # whole layout deterministically (jit-safe, no RNG plumbing).
+        stride = -(-n // median_subsample)          # ceil(n / k)
+        sub = X[::stride][:median_subsample]
     d2 = pairwise_sq_dists(sub, sub)
     h = jnp.median(d2) / (2.0 * jnp.log(n + 1.0))
     return 1.0 / (1e-8 + 2.0 * h)
@@ -58,11 +66,19 @@ def rbf_bandwidth(X: jax.Array, sigma: Optional[float] = None,
 def rbf_kernel(X: jax.Array, Y: jax.Array, sigma: Optional[float] = None):
     """K[i, j] = exp(-gamma * ||X_i - Y_j||^2); returns (K, gamma).
 
-    Median-heuristic bandwidth when sigma is None (stein.py:22-34),
-    exact over all pairs of X.
+    Median-heuristic bandwidth when sigma is None: the median is taken
+    over the SAME d2(X, Y) matrix the kernel is applied to (the reference
+    RBFKernel's behavior, stein.py:22-34) with n = X.shape[0] in the
+    log term — exact, no subsampling (this utility is not on the SVGD
+    hot path; svgd/svgd_batched use rbf_bandwidth's bounded median).
     """
-    gamma = rbf_bandwidth(X, sigma)
-    return jnp.exp(-gamma * pairwise_sq_dists(X, Y)), gamma
+    d2 = pairwise_sq_dists(X, Y)
+    if sigma is not None:
+        gamma = 1.0 / (1e-8 + 2.0 * jnp.asarray(sigma) ** 2)
+    else:
+        h = jnp.median(d2) / (2.0 * jnp.log(X.shape[0] + 1.0))
+        gamma = 1.0 / (1e-8 + 2.0 * h)
+    return jnp.exp(-gamma * d2), gamma
 
 
 def pairwise_sq_dists(X, Y):

@@ -105,9 +105,14 @@ def sdeint_adjoint(drift: Callable, diffusion: Callable, y0: PyTree, ts,
         lambda t_, y_: drift(t_, y_), t0_arr, y0)
     diff_conv, consts_g = jax.closure_convert(
         lambda t_, y_: diffusion(t_, y_), t0_arr, y0)
-    cfg = (noise_type, int(substeps), len(consts_d))
+    # out_index rides in the nondiff cfg: it is concrete at trace time
+    # (ts is required concrete above), and keeping it out of the traced
+    # arguments avoids returning an integer cotangent from the custom_vjp
+    # (formally float0 territory; fragile against JAX dtype checks).
+    cfg = (noise_type, int(substeps), len(consts_d),
+           tuple(int(i) for i in out_index))
     return _sdeint_rev(drift_conv, diff_conv, cfg, y0, dW, t_lo, t_hi, dts,
-                       jnp.asarray(out_index), *consts_d, *consts_g)
+                       *consts_d, *consts_g)
 
 
 def _step(drift_fn, diff_fn, noise_type, t0, t1, dt, y, yh, dW, pd, pg):
@@ -160,9 +165,9 @@ def _forward_scan(drift_fn, diff_fn, noise_type, y0, dW, t_lo, t_hi, dts,
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _sdeint_rev(drift_fn, diff_fn, cfg, y0, dW, t_lo, t_hi, dts, out_index,
-                *params):
-    noise_type, _, n_d = cfg
+def _sdeint_rev(drift_fn, diff_fn, cfg, y0, dW, t_lo, t_hi, dts, *params):
+    noise_type, _, n_d, out_index = cfg
+    out_index = jnp.asarray(out_index)
     pd, pg = params[:n_d], params[n_d:]
     _, _, ys_tail = _forward_scan(drift_fn, diff_fn, noise_type, y0, dW,
                                   t_lo, t_hi, dts, pd, pg)
@@ -172,23 +177,22 @@ def _sdeint_rev(drift_fn, diff_fn, cfg, y0, dW, t_lo, t_hi, dts, out_index,
     return jax.tree.map(lambda y: y[out_index], ys_grid)
 
 
-def _rev_fwd(drift_fn, diff_fn, cfg, y0, dW, t_lo, t_hi, dts, out_index,
-             *params):
-    noise_type, _, n_d = cfg
+def _rev_fwd(drift_fn, diff_fn, cfg, y0, dW, t_lo, t_hi, dts, *params):
+    noise_type, _, n_d, out_index = cfg
     pd, pg = params[:n_d], params[n_d:]
     yN, yhN, ys_tail = _forward_scan(drift_fn, diff_fn, noise_type, y0, dW,
                                      t_lo, t_hi, dts, pd, pg)
     ys_grid = jax.tree.map(
         lambda first, rest: jnp.concatenate([first[None], rest], axis=0),
         y0, ys_tail)
-    out = jax.tree.map(lambda y: y[out_index], ys_grid)
-    res = (yN, yhN, dW, t_lo, t_hi, dts, out_index, params)
+    out = jax.tree.map(lambda y: y[jnp.asarray(out_index)], ys_grid)
+    res = (yN, yhN, dW, t_lo, t_hi, dts, params)
     return out, res
 
 
 def _rev_bwd(drift_fn, diff_fn, cfg, res, ys_bar):
-    noise_type, substeps, n_d = cfg
-    yN, yhN, dW, t_lo, t_hi, dts, out_index, params = res
+    noise_type, substeps, n_d, _ = cfg
+    yN, yhN, dW, t_lo, t_hi, dts, params = res
     pd, pg = params[:n_d], params[n_d:]
     n_steps = t_lo.shape[0]
 
@@ -232,7 +236,7 @@ def _rev_bwd(drift_fn, diff_fn, cfg, res, ys_bar):
         ybar, yhbar, ys_bar)
     zeros_t = (jnp.zeros_like(t_lo), jnp.zeros_like(t_hi),
                jnp.zeros_like(dts))
-    return (y0_bar, dW_bar, *zeros_t, jnp.zeros_like(out_index)) + tuple(pbar)
+    return (y0_bar, dW_bar, *zeros_t) + tuple(pbar)
 
 
 _sdeint_rev.defvjp(_rev_fwd, _rev_bwd)

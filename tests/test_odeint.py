@@ -309,3 +309,25 @@ def test_compensated_fixed_grid_rk4():
         f, y0_, ts[:501], method="rk4",
         options={"compensated": True})[-1] ** 2))(y0)
     assert bool(jnp.isfinite(g).all())
+
+
+def test_mixed_concrete_traced_time_list():
+    # ADVICE r3: a Python list mixing concrete and traced scalars (e.g.
+    # [0.0, t1_tracer]) must flow through the dynamic-sign traced path,
+    # not raise TracerArrayConversionError in host-side canonicalization.
+    f = lambda t, y: -y
+    y0 = jnp.asarray(2.0)
+
+    @jax.jit
+    def solve_to(t1):
+        return odeint(f, y0, [0.0, t1], method="dopri5")[-1]
+
+    import math
+
+    got = float(solve_to(jnp.asarray(1.5)))
+    assert abs(got - 2.0 * math.exp(-1.5)) < 1e-6 * got
+    # decreasing traced endpoint exercises the dynamic sign trick
+    got_rev = float(jax.jit(
+        lambda t1: odeint(f, y0, [0.0, t1], method="dopri5")[-1]
+    )(jnp.asarray(-1.0)))
+    assert abs(got_rev - 2.0 * math.exp(1.0)) < 1e-6 * got_rev

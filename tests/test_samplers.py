@@ -580,6 +580,38 @@ def test_rbf_bandwidth_subsample():
     assert float(rbf_bandwidth(X, sigma=1.3)) == float(
         rbf_bandwidth(X, sigma=1.3, median_subsample=4))
 
+    # STRUCTURED (non-exchangeable) order: two well-separated modes laid
+    # out contiguously.  A first-k-rows slice would see only mode A
+    # (within-mode distances -> wildly wrong bandwidth); the strided
+    # subsample (ADVICE r3) must stay close to exact anyway.
+    mode_a = jax.random.normal(k1, (2048, 4))
+    mode_b = jax.random.normal(k2, (2048, 4)) + 40.0
+    Xs = jnp.concatenate([mode_a, mode_b])      # sorted-by-mode layout
+    g_exact_s = float(rbf_bandwidth(Xs))
+    g_sub_s = float(rbf_bandwidth(Xs, median_subsample=256))
+    assert abs(jnp.log(g_sub_s / g_exact_s)) < 0.1, (g_exact_s, g_sub_s)
+
+
+def test_rbf_kernel_cross_median_pools_xy():
+    # rbf_kernel(X, Y) with sigma=None medians the d2(X, Y) matrix it
+    # applies (reference RBFKernel behavior; ADVICE r3) — not X-X alone.
+    from bayesian_ode_tpu.samplers.stein import pairwise_sq_dists, rbf_kernel
+
+    key = jax.random.PRNGKey(11)
+    kx, ky = jax.random.split(key)
+    X = jax.random.normal(kx, (64, 3))
+    Y = jax.random.normal(ky, (96, 3)) + 10.0   # cross-distances dominate
+    K, gamma = rbf_kernel(X, Y)
+    d2 = pairwise_sq_dists(X, Y)
+    h = jnp.median(d2) / (2.0 * jnp.log(X.shape[0] + 1.0))
+    np.testing.assert_allclose(float(gamma), float(1.0 / (1e-8 + 2.0 * h)),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(K),
+                               np.asarray(jnp.exp(-gamma * d2)), rtol=1e-6)
+    # X == Y keeps the self-median (and symmetric K)
+    K2, g2 = rbf_kernel(X, X)
+    np.testing.assert_allclose(np.asarray(K2), np.asarray(K2).T, atol=1e-6)
+
 
 def test_svgd_info_potential_rides_score_pass():
     # info["potential"] is the PRE-update ensemble mean, evaluated in the
