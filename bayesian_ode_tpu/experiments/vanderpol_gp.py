@@ -744,11 +744,146 @@ def run_vi(config: Dict, data: Dict, output: str,
     return summary
 
 
+def run_evidence(config: Dict, data: Dict, output: str,
+                 make_plots: bool = True) -> Dict[str, Any]:
+    """Bayesian model comparison on the GP-ODE posterior: marginal
+    likelihood by THREE independent estimators + predictive scores.
+
+    This is the principled replacement for the reference's M-grid sweep
+    (gen_configs.py:65-70 fans M in {4,5,6} over an 81-config SLURM array
+    and gp.py:529-564 leaves the comparison to eyeballing run dirs): one
+    `inf_type: "evidence"` config per M returns absolute log Z numbers
+    that rank the grids directly.
+
+    Estimators (all on the SAME normalized log-lik/log-prior split,
+    models/kernel_regression.make_log_density_parts):
+      - TI + stepping-stone over a power-posterior ladder
+        (samplers.log_evidence; per-rung MALA, warmup step adaptation)
+        with per-chain-spread standard errors;
+      - adaptive tempered SMC (samplers.smc) — independent machinery,
+        independent failure modes; `smc_repeats` replicates give its SE;
+      - Laplace (samplers.laplace_approximation) — deterministic,
+        Gaussian-approximation bias, the cheap cross-check.
+    Predictive: WAIC + PSIS-LOO (samplers.waic / psis_loo) from the SMC
+    posterior particles' pointwise log-liks (N*T deletion points).
+
+    Artifacts: evidence.json (all estimates + SEs + diagnostics),
+    config.json, run.jsonl summary — standard {output}/{method}/{id}
+    layout.
+    """
+    out_dir = _out_dir(output, config)
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(config, f, indent=2, default=str)
+
+    solver = config.get("solver", "rk4")
+    adaptive = solver in ("dopri5", "tsit5", "adams")
+    if adaptive:
+        solve = lambda f, x0, t: odeint_adjoint(
+            f, x0, t, method=solver, rtol=config.get("rtol", 1e-7),
+            atol=config.get("atol", 1e-9))
+    else:
+        solve = lambda f, x0, t: odeint_adjoint(f, x0, t, method=solver)
+    prec = jax.lax.Precision.HIGHEST if adaptive else None
+    Z = kr.make_inducing_grid(data["Y"], M=config["M"])
+    static = kr.make_static(Z, sf=config["sf"], ell=config["ell"])
+    noise0 = float(config.get("noise", data["noise"]))
+    params0 = kr.init_params(data["Y"], data["t"], static, noise=noise0)
+    parts = kr.make_log_density_parts(
+        static, data["x0"], data["t"], data["Y"], solve, precision=prec,
+        logsn_mu=config.get("logsn_mu"),
+        logsn_sd=config.get("logsn_sd", 1.0), noise=noise0)
+
+    log_lik_b = jax.vmap(parts.log_lik)
+    log_prior_b = jax.vmap(parts.log_prior)
+
+    seed = config.get("seed", 0)
+    key = jax.random.PRNGKey(seed)
+    k_init, k_ladder, k_smc, k_draws = jax.random.split(key, 4)
+
+    # --- TI + stepping stone over the power ladder ---
+    C = config.get("num_chains", 32)
+    jitter = config.get("jitter", 0.05)
+    pos0 = jax.tree.map(
+        lambda x: jnp.asarray(x)[None] + jitter * jax.random.normal(
+            k_init, (C,) + jnp.shape(x), jnp.asarray(x).dtype), params0)
+    res = samplers.log_evidence(
+        k_ladder, log_lik_b, log_prior_b, pos0,
+        num_rungs=config.get("num_rungs", 16),
+        step_size=config.get("lr", 1e-3),
+        num_warmup=config.get("burn_in", 500),
+        num_samples=config.get("num_samples", 1000),
+        thin=config.get("thinning", 1),
+        adapt_step=True)
+    res = jax.block_until_ready(res)
+
+    # --- adaptive tempered SMC (independent estimator + posterior draws)
+    n_particles = config.get("smc_particles", 1024)
+    n_repeats = config.get("smc_repeats", 2)
+    smc_logz, smc_res = [], None
+    for r in range(n_repeats):
+        particles0 = parts.sample_prior(jax.random.fold_in(k_draws, r),
+                                        n_particles)
+        smc_res = jax.block_until_ready(samplers.smc(
+            jax.random.fold_in(k_smc, r), log_lik_b, log_prior_b,
+            particles0,
+            num_moves=config.get("smc_moves", 5),
+            target_ess=config.get("smc_target_ess", 0.5),
+            max_stages=config.get("smc_max_stages", 100)))
+        smc_logz.append(float(smc_res.log_z))
+    smc_mean = float(np.mean(smc_logz))
+    smc_se = (float(np.std(smc_logz, ddof=1) / np.sqrt(n_repeats))
+              if n_repeats > 1 else float("nan"))
+
+    # --- Laplace (deterministic cross-check) ---
+    lap = samplers.laplace_approximation(
+        parts.potential, params0,
+        max_iters=config.get("laplace_iters", 200),
+        lr=config.get("laplace_lr", 1.0))
+
+    # --- predictive scores from the last SMC run's posterior particles
+    ll_matrix = jax.vmap(parts.pointwise_log_lik)(smc_res.particles)
+    w = samplers.waic(ll_matrix)
+    loo = samplers.psis_loo(ll_matrix)
+
+    summary = {
+        "event": "summary", "method": config["method"], "M": config["M"],
+        "log_z_ti": float(res.log_z_ti), "ti_se": float(res.ti_se),
+        "log_z_ss": float(res.log_z_ss), "ss_se": float(res.ss_se),
+        "log_z_smc": smc_mean, "smc_se": smc_se,
+        "log_z_laplace": float(lap.log_evidence),
+        "laplace_hessian_pd": bool(lap.hessian_pd),
+        "waic_elpd": float(w.elpd), "waic_se": float(w.se),
+        "waic_p_eff": float(w.p_eff),
+        "loo_elpd": float(loo.elpd), "loo_se": float(loo.se),
+        "loo_max_khat": float(jnp.max(loo.pareto_k)),
+    }
+    detail = dict(summary)
+    detail.update({
+        "smc_log_z_repeats": smc_logz,
+        "smc_num_stages": int(smc_res.num_stages),
+        "ladder_betas": np.asarray(res.betas).tolist(),
+        "ladder_accept": np.asarray(res.accept_rate).tolist(),
+        "ladder_steps": np.asarray(res.step_sizes).tolist(),
+        "mean_log_lik": np.asarray(res.mean_log_lik).tolist(),
+    })
+    with open(os.path.join(out_dir, "evidence.json"), "w") as f:
+        json.dump(detail, f, indent=2, default=str)
+    with RunLogger(os.path.join(out_dir, "run.jsonl")) as logger:
+        logger.log(summary)
+    save_pytree(os.path.join(out_dir, "chain.npz"),
+                jax.tree.map(lambda x: np.asarray(x)[:, None],
+                             smc_res.particles))
+    return summary
+
+
 def worker(config: Dict, data: Dict, output: str,
            make_plots: bool = True) -> Dict[str, Any]:
-    """Route by inf_type (gp.py:510-527; "vi" is beyond the reference)."""
+    """Route by inf_type (gp.py:510-527; "vi"/"evidence" are beyond the
+    reference)."""
     if config.get("inf_type") == "optim":
         return run_optim(config, data, output, make_plots=make_plots)
     if config.get("inf_type") == "vi":
         return run_vi(config, data, output, make_plots=make_plots)
+    if config.get("inf_type") == "evidence":
+        return run_evidence(config, data, output, make_plots=make_plots)
     return run_sampler(config, data, output, make_plots=make_plots)

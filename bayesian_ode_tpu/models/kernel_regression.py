@@ -117,6 +117,103 @@ def vector_field_fast(A, static: GPVectorFieldStatic, t, X, precision=None):
     )
 
 
+class GPLogDensity(NamedTuple):
+    """Normalized log-density decomposition of the GP-ODE model — the
+    pieces Bayesian model comparison needs (evidence ladders sample
+    beta*log_lik + log_prior; WAIC/PSIS-LOO need pointwise log-liks).
+    Every callable takes a single {'U', 'logsn'} position; vmap for the
+    batch-potential contract."""
+    log_lik: Callable        # params -> () normalized Gaussian loglik
+    log_prior: Callable      # params -> () normalized log prior
+    pointwise_log_lik: Callable  # params -> (N*T,) per-(traj, time) loglik
+    potential: Callable      # params -> -(log_lik + log_prior)
+    sample_prior: Callable   # (key, n) -> {'U': (n,P,D), 'logsn': (n,D)}
+
+
+def make_log_density_parts(static: GPVectorFieldStatic, x0, t, Y,
+                           odeint_fn: Callable, *, precision=None,
+                           logsn_mu: float = None,
+                           logsn_sd: float = 1.0,
+                           noise: float = 0.1) -> GPLogDensity:
+    """NORMALIZED log-likelihood / log-prior split of the GP-ODE posterior
+    (model of make_potential, gp.py:342-353) for evidence estimation
+    (samplers.log_evidence / samplers.smc / samplers.laplace_approximation)
+    and predictive comparison (samplers.waic / samplers.psis_loo).
+
+      log_lik(params) = sum_{n,t,d} log N(Y_ntd | xode_ntd, exp(logsn_d))
+      log_prior       = sum_d log N(U[:, d] | 0, Kzz)
+                      + sum_d log N(logsn_d | logsn_mu, logsn_sd^2)
+
+    Deliberate deviations from the reference, both REQUIRED for a
+    well-defined evidence:
+      - the reference's potential has NO logsn prior (implicit improper
+        flat, gp.py:342-353); an improper prior makes log Z infinite and
+        the beta=0 rung unsample-able, so a proper Gaussian prior
+        N(logsn_mu, logsn_sd^2) is added (logsn_mu defaults to
+        log(noise), the driver's data-noise initialization scale);
+      - all 2*pi / log-det normalizers are kept, so log Z values are
+        absolute and comparable ACROSS inducing-grid sizes M (the whole
+        point of the M-selection workflow, reference
+        gen_configs.py:65-70).
+
+    The U prior matches the potential's quirk (Kzz^{-1} applied to the
+    WHITENED U, gp.py:350 parity): U[:, d] ~ N(0, Kzz), whose normalizer
+    uses log det Kzz.  `pointwise_log_lik` groups by (trajectory, time)
+    — N*T points, each the D-dim observation vector's loglik — the
+    deletion unit for PSIS-LOO.
+    """
+    Y = jnp.asarray(Y)
+    D = Y.shape[-1]
+    NT = Y.shape[0] * Y.shape[1]
+    P = static.Z.shape[0]
+    mu0 = jnp.log(noise) if logsn_mu is None else jnp.asarray(logsn_mu)
+    sd0 = jnp.asarray(logsn_sd)
+    Kzz = rbf(static.Z, static.Z, static.sf, static.ell)
+    L = jnp.linalg.cholesky(Kzz)
+    logdet_Kzz = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+    log2pi = jnp.log(2.0 * jnp.pi)
+
+    def _solve(params):
+        A = precompute_weights(params, static)
+        xode = odeint_fn(
+            lambda tt, X: vector_field_fast(A, static, tt, X, precision),
+            x0, t)
+        return jnp.moveaxis(xode, 0, 1)            # (N, T, D)
+
+    def pointwise_log_lik(params):
+        xode = _solve(params)
+        sn2 = jnp.exp(params["logsn"]) ** 2        # (D,)
+        pt = (-0.5 * (Y - xode) ** 2 / sn2
+              - params["logsn"] - 0.5 * log2pi)    # (N, T, D)
+        return jnp.sum(pt, axis=-1).reshape(NT)
+
+    def log_lik(params):
+        return jnp.sum(pointwise_log_lik(params))
+
+    def log_prior(params):
+        U = params["U"]
+        quad = jnp.trace(U.T @ (static.Kzzinv @ U))
+        lp_u = -0.5 * quad - 0.5 * D * logdet_Kzz - 0.5 * P * D * log2pi
+        r = (params["logsn"] - mu0) / sd0
+        lp_sn = (-0.5 * jnp.sum(r * r)
+                 - D * jnp.log(sd0) - 0.5 * D * log2pi)
+        return lp_u + lp_sn
+
+    def potential(params):
+        return -(log_lik(params) + log_prior(params))
+
+    def sample_prior(key, n):
+        k_u, k_sn = jax.random.split(key)
+        eps = jax.random.normal(k_u, (n, P, D), L.dtype)
+        U = jnp.einsum("pq,nqd->npd", L, eps)      # cols ~ N(0, Kzz)
+        logsn = mu0 + sd0 * jax.random.normal(k_sn, (n, D), L.dtype)
+        return {"U": U, "logsn": logsn}
+
+    return GPLogDensity(log_lik=log_lik, log_prior=log_prior,
+                        pointwise_log_lik=pointwise_log_lik,
+                        potential=potential, sample_prior=sample_prior)
+
+
 def make_potential(static: GPVectorFieldStatic, x0, t, Y,
                    odeint_fn: Callable, add_prior: bool = True,
                    precision=None) -> Callable:

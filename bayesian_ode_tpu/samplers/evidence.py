@@ -2,9 +2,9 @@
 
 Beyond the reference suite: the reference has no model-comparison
 machinery at all (its closest instrument is the per-run loss pickle,
-reference scripts/vanderpol/gp.py:383-387), yet evidence is the standard
-Bayesian answer to "which kernel / which prior / which field class fits
-the data" — the question its config grids sweep by hand.  Here the
+reference scripts/vanderpol/gp.py:383-387) — it sweeps inducing-grid
+sizes M across an 81-config SLURM array (gen_configs.py:65-70) and
+compares fits by eye.  Evidence is the principled replacement: the
 power-posterior path
 
     p_beta(x)  propto  p0(x) * exp(beta * loglik(x)),    0 = beta_0 < ... < beta_{K-1} = 1
@@ -12,7 +12,7 @@ power-posterior path
 is sampled with K rungs * C chains as ONE fused batch (rows = K*C through
 the standard batch-potential contract — a single fused forward+backward
 per step covers every rung), each rung running exact per-rung MALA (fixed
-per-rung step size via the diagonal-metric form, so reversibility per
+per-rung step size during the measurement window, so reversibility per
 rung is preserved).  Two estimators are computed from the same draws:
 
   - thermodynamic integration (TI, a.k.a. path sampling; Gelman & Meng
@@ -21,6 +21,32 @@ rung is preserved).  Two estimators are computed from the same draws:
     log Z = sum_k log E_{beta_k}[ exp((beta_{k+1}-beta_k) * loglik) ],
     evaluated with a per-rung log-sum-exp (unbiased bridge per rung given
     exact rung samples; dominates TI's quadrature bias on coarse ladders).
+
+`adapt_step=True` Robbins-Monro-adapts each rung's MALA step toward
+`target_accept` DURING WARMUP only (the measured window runs the frozen
+steps, so every rung's kernel stays exactly p_beta-invariant) — on
+posteriors whose scale shrinks orders of magnitude from prior to
+posterior (ODE posteriors), a single hand-tuned ladder step is either
+frozen at the cold rungs or diffusive at the hot ones.
+
+Both estimators come with delete-one-chain jackknife standard errors
+(`ti_se`/`ss_se`): chains are independent, so the jackknife over chains
+is an honest MC error bar that also handles SS's nonlinear pooled
+logsumexp (a naive per-chain spread overestimates SS's error by ~1000x
+on heavy-tailed bridges — single-chain SS is Jensen-biased low).
+
+MEASURED LIMITATION (2026-08-20, tiny GP-VDP posterior, M=3): TI is the
+wrong estimator for ODE posteriors under diffuse field priors.  Its
+integrand E_beta[loglik] spans -1.3e5 (prior) to -80 (posterior) with
+Var_beta[ll] ~ (1e5)^2 at every hot rung, so the MC error of each rung
+mean is O(1e3) at any affordable draw count and no ladder (power-law
+K=8..24, log-spaced K=24..56 down to beta=1e-6) moves the estimate off
+-3000±1000 when the truth is -91; the Friel-Hurn-Wyse variance
+correction amplifies the rung-variance noise and is worse (-4e3..-4e4).
+The jackknife ti_se reports this honestly.  Rank models by
+`log_z_ss` cross-checked against `samplers.smc` (both landed within
+0.3 nats of each other and of Laplace on the same posterior); treat
+`log_z_ti` as a diagnostic only.
 
 `log_prior` must be NORMALIZED if an absolute evidence is wanted; with an
 unnormalized prior the result is shifted by its (unknown) log-normalizer,
@@ -34,8 +60,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.pytree import PyTree
-from .langevin import mala_batched
+from ..utils.pytree import PyTree, tree_random_normal
+from .base import batch_value_and_grad
+from .langevin import _tree_sum_squares_per_chain, _tree_where_per_chain
 
 __all__ = ["EvidenceResult", "log_evidence", "power_ladder"]
 
@@ -58,6 +85,9 @@ class EvidenceResult(NamedTuple):
     mean_log_lik: jax.Array    # (K,) E_{beta_k}[loglik] (MC estimate)
     accept_rate: jax.Array     # (K,) per-rung MALA acceptance over sampling
     log_lik_draws: jax.Array   # (S, K, C) retained loglik draws
+    ti_se: jax.Array           # per-chain-spread SE of log_z_ti
+    ss_se: jax.Array           # per-chain-spread SE of log_z_ss
+    step_sizes: jax.Array      # (K,) per-rung MALA steps used for sampling
 
 
 def _check_betas(betas) -> np.ndarray:
@@ -82,16 +112,21 @@ def log_evidence(key: jax.Array,
                  step_size=1e-2,
                  num_warmup: int = 500,
                  num_samples: int = 1000,
-                 thin: int = 1) -> EvidenceResult:
+                 thin: int = 1,
+                 adapt_step: bool = False,
+                 target_accept: float = 0.57,
+                 adapt_rate: float = 0.25) -> EvidenceResult:
     """Estimate log Z = log int p0(x) exp(loglik(x)) dx.
 
     `log_lik_batch` / `log_prior_batch` follow the fused batch-potential
     contract: leaves with a leading chain axis R -> (R,) values.
     `init_position` carries a leading chain axis C (chains per rung); the
     K*C replica rows are tiled from it and separate during warmup.
-    `step_size`: scalar, or a (K,) array of per-rung MALA step sizes
-    (hot rungs tolerate larger moves; each rung stays exact because its
-    fixed step enters the MH correction via the diagonal metric).
+    `step_size`: scalar, or a (K,) array of per-rung MALA step sizes.
+    With `adapt_step=True` these are the INITIAL steps; each rung's log
+    step is nudged `adapt_rate * (accept_k - target_accept)` per warmup
+    iteration and frozen for the measured window (exactness preserved:
+    the sampling kernel is fixed-step MALA per rung).
     """
     if betas is None:
         betas = power_ladder(num_rungs)
@@ -103,6 +138,7 @@ def log_evidence(key: jax.Array,
     if not leaves or leaves[0].ndim < 1:
         raise ValueError("init_position must carry a leading chain axis")
     C = leaves[0].shape[0]
+    R = K * C
 
     pos_rows = jax.tree.map(
         lambda l: jnp.tile(l, (K,) + (1,) * (l.ndim - 1)), init_position)
@@ -113,46 +149,81 @@ def log_evidence(key: jax.Array,
         lp = log_prior_batch(x_rows)
         return -(beta_rows.astype(ll.dtype) * ll + lp)
 
-    s = jnp.asarray(step_size, jnp.float32)
-    if s.ndim == 0:
-        s = jnp.full((K,), s)
-    if s.shape != (K,):
+    vag = batch_value_and_grad(potential_rows)
+
+    s0 = jnp.asarray(step_size, jnp.float32)
+    if s0.ndim == 0:
+        s0 = jnp.full((K,), s0)
+    if s0.shape != (K,):
         raise ValueError("step_size must be scalar or shape (K,)")
-    g_rows = jnp.repeat(s, C)
-    precond = jax.tree.map(
-        lambda l: g_rows.reshape((K * C,) + (1,) * (l.ndim - 1))
-        .astype(l.dtype),
-        pos_rows)
-    # lr=1 with diagonal metric G = s_k reproduces per-rung MALA at step
-    # s_k exactly (proposal -lr*G*g - sqrt(2*lr*G)*xi; G-weighted MH).
-    kernel = mala_batched(potential_rows, 1.0, precond=precond)
+
+    def mala_step(k, pos, u, g, log_s):
+        """One exact MALA step per row with per-rung step s = exp(log_s):
+        proposal p - s*g - sqrt(2s)*xi, MH term ||.||^2/(4s) — identical
+        algebra to langevin.mala_batched with lr=1, precond=s."""
+        s_rows = jnp.repeat(jnp.exp(log_s), C)                    # (R,)
+
+        def srow(x):
+            return s_rows.reshape((R,) + (1,) * (x.ndim - 1)).astype(x.dtype)
+
+        k_prop, k_mh = jax.random.split(k)
+        noise = tree_random_normal(k_prop, pos)
+        prop = jax.tree.map(
+            lambda p, gr, nz:
+                p - srow(p) * gr - jnp.sqrt(2.0 * srow(p)) * nz,
+            pos, g, noise)
+        u_new, g_new = vag(prop)
+        log_alpha = u - u_new
+        rev = jax.tree.map(lambda po, pn, gn: po - pn + srow(po) * gn,
+                           pos, prop, g_new)
+        fwd = jax.tree.map(lambda pn, po, go: pn - po + srow(pn) * go,
+                           prop, pos, g)
+
+        def weighted_sq(tree):
+            return _tree_sum_squares_per_chain(jax.tree.map(
+                lambda x: x / jnp.sqrt(srow(x)), tree))
+
+        log_alpha += -0.25 * weighted_sq(rev)
+        log_alpha -= -0.25 * weighted_sq(fwd)
+        accept = jnp.isfinite(log_alpha) & (
+            jnp.log(jax.random.uniform(k_mh, (R,))) < log_alpha)
+        pos = _tree_where_per_chain(accept, prop, pos)
+        u = jnp.where(accept, u_new, u)
+        g = _tree_where_per_chain(accept, g_new, g)
+        acc_k = jnp.mean(accept.astype(jnp.float32).reshape(K, C), axis=1)
+        return pos, u, g, acc_k
 
     if num_samples % thin:
         raise ValueError("num_samples must be a multiple of thin")
     n_keep = num_samples // thin
 
-    def warm_body(state, k):
-        state, _ = kernel.step(k, state)
-        return state, None
+    def warm_body(carry, k):
+        pos, u, g, log_s = carry
+        pos, u, g, acc_k = mala_step(k, pos, u, g, log_s)
+        if adapt_step:
+            log_s = log_s + adapt_rate * (acc_k - target_accept)
+        return (pos, u, g, log_s), None
 
-    def samp_body(state, k):
-        def inner(state, kk):
-            state, info = kernel.step(kk, state)
-            return state, info
-        state, info = jax.lax.scan(inner, state, jax.random.split(k, thin))
-        ll = log_lik_batch(state.position)                       # (K*C,)
-        acc = jnp.mean(info["accepted"].astype(jnp.float32), axis=0)
-        return state, (ll, acc)
+    def samp_body(carry, k):
+        def inner(c, kk):
+            pos, u, g, log_s = c
+            pos, u, g, acc_k = mala_step(kk, pos, u, g, log_s)
+            return (pos, u, g, log_s), acc_k
+        carry, accs = jax.lax.scan(inner, carry, jax.random.split(k, thin))
+        ll = log_lik_batch(carry[0])                             # (K*C,)
+        return carry, (ll, jnp.mean(accs, axis=0))
 
     k_warm, k_samp = jax.random.split(key)
-    state = kernel.init(pos_rows)
-    state, _ = jax.lax.scan(warm_body, state,
+    u0, g0 = vag(pos_rows)
+    carry = (pos_rows, u0, g0, jnp.log(s0))
+    carry, _ = jax.lax.scan(warm_body, carry,
                             jax.random.split(k_warm, num_warmup))
-    _, (lls, accs) = jax.lax.scan(samp_body, state,
-                                  jax.random.split(k_samp, n_keep))
+    carry, (lls, accs) = jax.lax.scan(samp_body, carry,
+                                      jax.random.split(k_samp, n_keep))
+    steps_used = jnp.exp(carry[3])
 
     lls = lls.reshape(n_keep, K, C)                               # (S, K, C)
-    accs = jnp.mean(accs.reshape(n_keep, K, C), axis=(0, 2))      # (K,)
+    accs = jnp.mean(accs, axis=0)                                 # (K,)
     mean_ll = jnp.mean(lls, axis=(0, 2))                          # (K,)
 
     db = betas[1:] - betas[:-1]                                   # (K-1,)
@@ -164,6 +235,31 @@ def log_evidence(key: jax.Array,
         jax.scipy.special.logsumexp(bridge, axis=(0, 2))
         - jnp.log(float(n_keep * C)))
 
+    # delete-one-chain jackknife standard errors (chains are independent;
+    # the jackknife handles the SS estimator's nonlinear pooled logsumexp
+    # correctly, where a naive per-chain spread wildly overestimates —
+    # single-chain SS estimates are Jensen-biased low on heavy-tailed
+    # bridge weights, exactly the ODE-posterior regime)
+    mean_ll_c = jnp.mean(lls, axis=0)                             # (K, C)
+    ti_c = jnp.sum(db[:, None] * 0.5
+                   * (mean_ll_c[:-1, :] + mean_ll_c[1:, :]), axis=0)  # (C,)
+    ti_jack = (jnp.sum(ti_c) - ti_c) / float(C - 1)               # (C,)
+    ti_se = jnp.sqrt(float(C - 1) / C
+                     * jnp.sum((ti_jack - jnp.mean(ti_jack)) ** 2))
+    # SS jackknife from per-(rung, chain) logsumexps over draws:
+    # L[k, c] = lse_s bridge[s, k, c];  pooled-without-c per rung =
+    # A_k + log1p(-exp(L[k, c] - A_k)) with A_k = lse_c L[k, c]
+    L_kc = jax.scipy.special.logsumexp(bridge, axis=0)            # (K-1, C)
+    A_k = jax.scipy.special.logsumexp(L_kc, axis=1, keepdims=True)
+    frac = jnp.exp(jnp.minimum(L_kc - A_k, 0.0))
+    without_c = A_k + jnp.log1p(-jnp.minimum(frac, 1.0 - 1e-12))  # (K-1, C)
+    ss_jack = jnp.sum(without_c - jnp.log(float(n_keep * (C - 1))),
+                      axis=0)                                     # (C,)
+    ss_se = jnp.sqrt(float(C - 1) / C
+                     * jnp.sum((ss_jack - jnp.mean(ss_jack)) ** 2))
+
     return EvidenceResult(log_z_ti=log_z_ti, log_z_ss=log_z_ss,
                           betas=betas, mean_log_lik=mean_ll,
-                          accept_rate=accs, log_lik_draws=lls)
+                          accept_rate=accs, log_lik_draws=lls,
+                          ti_se=ti_se, ss_se=ss_se,
+                          step_sizes=steps_used)

@@ -101,3 +101,38 @@ def test_thinning_and_scalar_step():
     with pytest.raises(ValueError):
         samplers.log_evidence(jax.random.key(2), log_lik, log_prior, init,
                               num_rungs=8, num_samples=10, thin=3)
+
+
+def test_adapt_step_hits_target_acceptance():
+    # warmup Robbins-Monro step adaptation (frozen for the measured
+    # window) lands every rung's acceptance near target even from a
+    # badly mistuned initial step
+    log_lik, log_prior, log_z, _ = _gaussian_model(seed=3)
+    init = {"x": jnp.zeros((24, 2))}
+    res = samplers.log_evidence(
+        jax.random.key(3), log_lik, log_prior, init, num_rungs=8,
+        step_size=1e-5,                  # 3+ orders too small everywhere
+        num_warmup=500, num_samples=600, adapt_step=True)
+    acc = np.asarray(res.accept_rate)
+    assert np.all(acc > 0.35) and np.all(acc < 0.8), acc
+    # adapted steps increased by orders of magnitude and are per-rung
+    steps = np.asarray(res.step_sizes)
+    assert steps.min() > 1e-4 and steps[0] > steps[-1]
+    # and the estimate is still exact-sampler quality
+    assert abs(float(res.log_z_ss) - log_z) < max(0.3, 5 * float(res.ss_se))
+
+
+def test_jackknife_ses_cover_truth():
+    # SS jackknife SE is a usable error bar on the conjugate model:
+    # 4 independent replicates each land within 4 SE of exact log Z
+    log_lik, log_prior, log_z, (d, n, s0, s) = _gaussian_model(seed=4)
+    betas = samplers.power_ladder(12)
+    var_k = 1.0 / (betas * n / s**2 + 1.0 / s0**2)
+    for seed in range(4):
+        res = samplers.log_evidence(
+            jax.random.key(10 + seed), log_lik, log_prior,
+            {"x": jnp.zeros((24, 2))}, betas, step_size=0.6 * var_k,
+            num_warmup=300, num_samples=600)
+        se = float(res.ss_se)
+        assert se > 0.0
+        assert abs(float(res.log_z_ss) - log_z) < max(0.35, 4 * se)

@@ -435,3 +435,44 @@ def test_run_vi_rejects_unknown_method(tmp_path, tiny_data):
     from bayesian_ode_tpu.experiments.vanderpol_gp import run_vi
     with pytest.raises(ValueError, match="ADVI"):
         run_vi(tiny_config("SGLD", inf_type="vi"), tiny_data, str(tmp_path))
+
+
+def test_run_evidence_estimators_agree(tmp_path, tiny_data):
+    # VERDICT r3 #1: Bayesian model comparison ON THE REAL GP-VDP
+    # posterior — the three independent log Z estimators must agree
+    # within their error bars, and the predictive scores must be sane.
+    from bayesian_ode_tpu.experiments.vanderpol_gp import run_evidence
+
+    cfg = tiny_config("Evidence", inf_type="evidence", M=3, ell=0.5,
+                      num_rungs=8, num_chains=16, lr=1e-3,
+                      burn_in=150, num_samples=300, thinning=1,
+                      smc_particles=256, smc_repeats=2, smc_moves=5,
+                      laplace_iters=150)
+    out = worker(cfg, tiny_data, str(tmp_path), make_plots=False)
+
+    ss, ss_se = out["log_z_ss"], out["ss_se"]
+    smc, smc_se = out["log_z_smc"], out["smc_se"]
+    lap = out["log_z_laplace"]
+    # independent machinery, same integral: stepping stone vs SMC
+    assert abs(ss - smc) < 3.0 * np.hypot(ss_se, smc_se) + 0.75, out
+    # Laplace carries Gaussian-approximation bias; a few nats on this
+    # mildly non-Gaussian posterior
+    assert out["laplace_hessian_pd"]
+    assert abs(lap - ss) < 5.0, out
+    # TI's error bar on ODE posteriors is honest but enormous (the
+    # integrand has prior-scale MC variance at hot rungs — see
+    # evidence.py docstring); it must still bracket the SS answer
+    assert abs(out["log_z_ti"] - ss) < 4.0 * out["ti_se"] + 1.0, out
+    # predictive scores: finite, WAIC ~ LOO, effective params positive
+    assert np.isfinite(out["waic_elpd"]) and np.isfinite(out["loo_elpd"])
+    assert abs(out["waic_elpd"] - out["loo_elpd"]) < 3.0
+    assert out["waic_p_eff"] > 0.0
+
+    # artifact layout
+    d = tmp_path / "Evidence" / "1"
+    assert (d / "evidence.json").exists()
+    assert (d / "chain.npz").exists()
+    assert (d / "config.json").exists()
+    detail = json.loads((d / "evidence.json").read_text())
+    assert len(detail["ladder_betas"]) == 8
+    assert len(detail["smc_log_z_repeats"]) == 2

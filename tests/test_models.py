@@ -107,3 +107,67 @@ def test_toy_potentials():
         assert jnp.isfinite(v), name
         g = jax.grad(pot)(jnp.asarray([0.3, -0.4]))
         assert jnp.all(jnp.isfinite(g)), name
+
+
+def test_gp_log_density_parts():
+    # make_log_density_parts: normalized split consistent with
+    # make_potential's shape, pointwise sums to total, prior draws have
+    # the advertised moments, and an analytic normalization gate
+    from bayesian_ode_tpu import odeint
+
+    data = make_dataset(jax.random.PRNGKey(5), "vdp", N=2, T=10, t_max=2.0,
+                        noise=0.1)
+    Z = kr.make_inducing_grid(data["Y"], M=3)
+    static = kr.make_static(Z, sf=1.0, ell=0.75)
+    params = kr.init_params(data["Y"], data["t"], static, noise=0.1)
+    solve = lambda f, x0, t: odeint(f, x0, t, method="rk4")
+    parts = kr.make_log_density_parts(static, data["x0"], data["t"],
+                                      data["Y"], solve, noise=0.1)
+
+    pt = parts.pointwise_log_lik(params)
+    assert pt.shape == (20,)                      # N*T deletion points
+    np.testing.assert_allclose(float(parts.log_lik(params)),
+                               float(jnp.sum(pt)), rtol=1e-6)
+
+    # log_lik differs from the unnormalized potential's data terms by
+    # exactly the Gaussian normalizer -numel/2 log(2 pi)
+    pot_ref = kr.make_potential(static, data["x0"], data["t"], data["Y"],
+                                solve)
+    numel = data["Y"].size
+    sn2 = jnp.exp(params["logsn"]) ** 2
+    prior_ref = jnp.trace(params["U"].T @ (static.Kzzinv @ params["U"])) / 2
+    data_terms_ref = float(pot_ref(params)) - float(prior_ref)
+    expect_ll = -data_terms_ref - 0.5 * numel * np.log(2 * np.pi)
+    np.testing.assert_allclose(float(parts.log_lik(params)), expect_ll,
+                               rtol=1e-6)
+
+    # potential = -(ll + lp), gradients finite
+    np.testing.assert_allclose(
+        float(parts.potential(params)),
+        -(float(parts.log_lik(params)) + float(parts.log_prior(params))),
+        rtol=1e-6)
+    g = jax.grad(parts.potential)(params)
+    assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))
+
+    # prior draws: U columns ~ N(0, Kzz) (MC covariance), logsn ~
+    # N(log noise, 1)
+    draws = parts.sample_prior(jax.random.PRNGKey(0), 4000)
+    U = np.asarray(draws["U"])                    # (n, P, D)
+    Kzz = np.asarray(kr.rbf(static.Z, static.Z, static.sf, static.ell))
+    emp = np.einsum("npd,nqd->pq", U, U) / (4000 * U.shape[-1])
+    np.testing.assert_allclose(emp, Kzz, atol=0.12)
+    ls = np.asarray(draws["logsn"])
+    assert abs(ls.mean() - np.log(0.1)) < 0.05
+    assert abs(ls.std() - 1.0) < 0.05
+
+    # prior log-density is NORMALIZED: MC check int q(x) dx = 1 via
+    # importance sampling identity E_prior[1] under its own draws is
+    # trivial, so instead check log_prior at the prior mode equals the
+    # analytic Gaussian peak height
+    P, D = U.shape[1], U.shape[2]
+    mode = {"U": jnp.zeros((P, D)), "logsn": jnp.full((D,), np.log(0.1))}
+    sign, logdet = np.linalg.slogdet(Kzz)
+    expect = (-0.5 * D * logdet - 0.5 * P * D * np.log(2 * np.pi)
+              - 0.5 * D * np.log(2 * np.pi))     # logsn_sd = 1
+    np.testing.assert_allclose(float(parts.log_prior(mode)), expect,
+                               rtol=1e-6)
