@@ -195,17 +195,32 @@ def run_sampler(config: Dict, data: Dict, output: str,
     static, params0, potential, sq_err = build_model(config, data)
     n_chains = config.get("num_chains", 64)
 
-    if config.get("engine") == "fused" and config["method"] in (
-            "SGLD", "cSGLD", "pSGLD", "AdamSGLD", "aSGHMC", "acSGHMC",
-            "SGRHMC", "MALA", "BAOAB"):
-        f32 = jnp.float32
-        n_chains = ((n_chains + 127) // 128) * 128
+    fused = config.get("engine") == "fused" and config["method"] in (
+        "SGLD", "cSGLD", "pSGLD", "AdamSGLD", "aSGHMC", "acSGHMC",
+        "SGRHMC", "MALA", "BAOAB", "HMC", "AdaptiveHMC", "NUTS",
+        "AdaptiveNUTS", "PT", "Ensemble")
+    # PT and Ensemble are batch-contract kernels by construction (replica
+    # rows / interacting walkers), so on the generic engine they run over
+    # the vmapped potential through the same batched path (the reference
+    # runs every sampler against the GP model, gp.py:360-378).
+    if fused or config["method"] in ("PT", "Ensemble"):
+        f32 = jnp.float32 if fused else jnp.asarray(
+            jax.tree.leaves(params0)[0]).dtype
+        if fused:
+            # stretch_move evaluates each HALF of the ensemble per sweep,
+            # so the fused kernels' 128-multiple contract applies to N/2
+            mult = 256 if config["method"] == "Ensemble" else 128
+            n_chains = ((n_chains + mult - 1) // mult) * mult
+        elif n_chains % 2:
+            n_chains += 1          # stretch_move needs even red/black halves
         solver = config.get("solver", "rk4")
-        if solver not in ("rk4", "dopri5"):
+        if fused and solver not in ("rk4", "dopri5"):
             raise ValueError(
                 f"engine='fused' supports solver 'rk4' or 'dopri5' "
                 f"(got {solver!r}); use the generic engine for others")
-        if config.get("model", "gp") == "nn":
+        if not fused:
+            pot_batch = jax.vmap(potential)
+        elif config.get("model", "gp") == "nn":
             if solver == "dopri5":
                 from ..ops.mlp_dopri5 import make_fused_mlp_potential_dopri5
 
@@ -315,6 +330,23 @@ def run_sampler(config: Dict, data: Dict, output: str,
                 step_size=config["lr"],
                 max_depth=config.get("max_depth", 10),
                 target_accept=config.get("target_accept", 0.8))
+        elif config["method"] == "PT":
+            # replica exchange over the batch contract: the K-rung ladder
+            # multiplies the chain batch (rows = K*C, one fused fwd+bwd
+            # covers every replica); recorded positions are the cold batch
+            kernel = samplers.parallel_tempering_batched(
+                pot_batch,
+                samplers.temperature_ladder(
+                    config.get("num_replicas", 4),
+                    config.get("beta_min", 0.1)),
+                config["lr"], inner=config.get("pt_inner", "mala"),
+                swap_every=config.get("swap_every", 1),
+                num_leapfrog=config.get("num_leapfrog", 10))
+        elif config["method"] == "Ensemble":
+            # Goodman-Weare stretch move: gradient-free interacting
+            # walkers; chains double as walkers
+            kernel = samplers.stretch_move(
+                pot_batch, a=config.get("stretch_a", 2.0))
         else:
             kernel = samplers.sgld_batched(pot_batch, _poly_sched(config))
         jitter = config.get("jitter", 0.005)
@@ -344,9 +376,12 @@ def run_sampler(config: Dict, data: Dict, output: str,
         else:                           # scalar-per-step kernels
             accepted = jnp.broadcast_to(accepted[None],
                                         (n_chains,) + accepted.shape)
+        swap_acc = infos.get("swap_accepted")        # PT only: (T, C)
         infos = {"potential": jnp.swapaxes(infos["potential"], 0, 1),
                  "accepted": accepted,
-                 "step_size": infos["step_size"]}
+                 "step_size": infos.get("step_size", jnp.zeros(()))}
+        if swap_acc is not None:
+            infos["swap_accepted"] = swap_acc
     elif config["method"] == "SVGD":
         # BASELINE config #5: SVGD over a particle ensemble on the GP
         # posterior (the reference's stein.py stub, completed).  The
@@ -429,6 +464,9 @@ def run_sampler(config: Dict, data: Dict, output: str,
         "median_potential": float(np.median(pots[:, -1])),
         "acceptance": acc, "ess_logsn": ess_logsn, "rhat_logsn": rhat_logsn,
     }
+    if isinstance(infos, dict) and "swap_accepted" in infos:
+        summary["swap_acceptance"] = float(
+            jnp.mean(infos["swap_accepted"].astype(jnp.float32)))
     logger.log(summary)
     logger.close()
 

@@ -7,6 +7,7 @@ from .chains import (  # noqa: F401
     svgd_step_sharded,
 )
 from .mesh import make_mesh, make_mesh_2d, replicated, shard_leading_axis  # noqa: F401
+from .smc import smc_sharded  # noqa: F401
 from .tempering import run_parallel_tempering_sharded  # noqa: F401
 from .runtime import (  # noqa: F401
     Runtime,
@@ -33,5 +34,6 @@ __all__ = [
     "sample_chain_sharded_batched",
     "sample_chains_sharded",
     "shard_leading_axis",
+    "smc_sharded",
     "svgd_step_sharded",
 ]

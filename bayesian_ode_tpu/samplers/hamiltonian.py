@@ -400,8 +400,12 @@ class HMCState(NamedTuple):
 
 
 def _bcast_step(eps, leaf):
-    """Broadcast a scalar or per-chain (C,) step over a leaf's axes."""
-    eps = jnp.asarray(eps)
+    """Broadcast a scalar or per-chain (C,) step over a leaf's axes,
+    cast into the leaf's dtype (repo convention: controller scalars are
+    cast into the state dtype at every combine — under x64 a strong-f64
+    jittered eps would otherwise promote f32 fused-kernel positions and
+    break the scan carry)."""
+    eps = jnp.asarray(eps, leaf.dtype)
     if eps.ndim == 0:
         return eps
     return eps.reshape(eps.shape + (1,) * (leaf.ndim - eps.ndim))

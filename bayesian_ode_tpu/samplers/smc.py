@@ -41,16 +41,27 @@ The loop is a `lax.while_loop` bounded by `max_stages`; per-stage
 diagnostics are written into fixed-size buffers so the result is fully
 jit-compatible.  All stage decisions (bisection, acceptance adaptation)
 happen on-device — there is no host round-trip per stage.
+
+Multi-device (SURVEY.md §2.9): pass `axis_name` when the particle axis
+is sharded under `jax.shard_map` (see `parallel.smc_sharded`).  Every
+per-particle random draw is keyed by the particle's GLOBAL index
+(`fold_in(key, global_idx)`), stage decisions run on `all_gather`ed
+(N,) log-lik vectors, and resampling gathers the global population —
+so a sharded run produces the SAME stage ladder, log Z, and particles
+as the single-device run (bit-for-bit when the batch potential is
+row-independent, e.g. a vmapped per-particle potential).  The only
+per-stage collectives are (N,)-vector gathers plus one particle
+all_gather for resampling; everything else stays local.
 """
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.pytree import PyTree, tree_random_normal
+from ..utils.pytree import PyTree
 from .base import batch_value_and_grad, langevin_noise_scale
 from .langevin import _tree_sum_squares_per_chain, _tree_where_per_chain
 
@@ -68,18 +79,46 @@ class SMCResult(NamedTuple):
     log_lik: jax.Array        # (N,) final per-particle log likelihood
 
 
-def systematic_resample(key: jax.Array, log_weights: jax.Array,
-                        position: PyTree) -> PyTree:
-    """Systematic (stratified single-uniform) resampling of a particle
-    batch.  `log_weights` (N,) need not be normalized.  Returns the
-    gathered pytree; every leaf's leading axis is permuted identically."""
+def _resample_indices(key: jax.Array, log_weights: jax.Array) -> jax.Array:
+    """Systematic (stratified single-uniform) resampling indices for the
+    full population.  `log_weights` (N,) need not be normalized."""
     n = log_weights.shape[0]
     w = jax.nn.softmax(log_weights)
     cdf = jnp.cumsum(w)
     u = (jax.random.uniform(key, ()) + jnp.arange(n, dtype=w.dtype)) / n
     # guard the top edge against cumsum rounding (cdf[-1] may be <1-ulp)
-    idx = jnp.minimum(jnp.searchsorted(cdf, u, side="left"), n - 1)
+    return jnp.minimum(jnp.searchsorted(cdf, u, side="left"), n - 1)
+
+
+def systematic_resample(key: jax.Array, log_weights: jax.Array,
+                        position: PyTree) -> PyTree:
+    """Systematic resampling of a particle batch.  Returns the gathered
+    pytree; every leaf's leading axis is permuted identically."""
+    idx = _resample_indices(key, log_weights)
     return jax.tree.map(lambda l: jnp.take(l, idx, axis=0), position)
+
+
+def _rowwise_normal(key: jax.Array, position: PyTree,
+                    gidx: jax.Array) -> PyTree:
+    """iid standard normals shaped like `position`, where row i of every
+    leaf is drawn from fold_in(fold_in(key, leaf_index), gidx[i]) — the
+    draw depends only on the particle's GLOBAL index, so local shards of
+    a sharded population see exactly the single-device values."""
+    leaves, treedef = jax.tree.flatten(position)
+    out = []
+    for li, leaf in enumerate(leaves):
+        kl = jax.random.fold_in(key, li)
+        row = lambda i, leaf=leaf, kl=kl: jax.random.normal(
+            jax.random.fold_in(kl, i), leaf.shape[1:], leaf.dtype)
+        out.append(jax.vmap(row)(gidx))
+    return jax.tree.unflatten(treedef, out)
+
+
+def _rowwise_uniform(key: jax.Array, gidx: jax.Array, dtype) -> jax.Array:
+    """One U[0,1) per particle, keyed by the global particle index."""
+    return jax.vmap(
+        lambda i: jax.random.uniform(jax.random.fold_in(key, i), (),
+                                     dtype))(gidx)
 
 
 def _pooled_variance(position):
@@ -130,7 +169,8 @@ def smc(key: jax.Array,
         step_scale: float = 0.5,
         target_accept: float = 0.57,
         adapt_rate: float = 1.0,
-        max_stages: int = 100) -> SMCResult:
+        max_stages: int = 100,
+        axis_name: Optional[str] = None) -> SMCResult:
     """Sample the posterior p(x) propto p0(x) exp(loglik(x)) and estimate
     log Z = log int p0(x) exp(loglik(x)) dx by adaptive tempered SMC.
 
@@ -147,17 +187,35 @@ def smc(key: jax.Array,
     stages).  The rejuvenation MALA step is
     `lr = step_scale * pooled-particle-variance`, with log(step_scale)
     adapted between stages by adapt_rate*(accept - target_accept).
+
+    `axis_name`: set when running inside `jax.shard_map` with the
+    particle axis sharded over that mesh axis (use `parallel.smc_sharded`
+    rather than calling this directly).  Stage decisions then run on the
+    gathered global population, and the result matches the single-device
+    run (module docstring).
     """
     if not 0.0 < target_ess < 1.0:
         raise ValueError("target_ess must be in (0, 1)")
     leaves = jax.tree.leaves(prior_particles)
     if not leaves or leaves[0].ndim < 1:
         raise ValueError("prior_particles must carry a leading particle axis")
-    n = leaves[0].shape[0]
+    n = leaves[0].shape[0]                      # LOCAL particle count
+
+    if axis_name is None:
+        gather = lambda v: v
+        gather_tree = lambda t: t
+        offset = jnp.zeros((), jnp.int32)
+    else:
+        gather = lambda v: jax.lax.all_gather(v, axis_name, tiled=True)
+        gather_tree = lambda t: jax.tree.map(
+            lambda l: jax.lax.all_gather(l, axis_name, tiled=True), t)
+        offset = (jax.lax.axis_index(axis_name) * n).astype(jnp.int32)
+    gidx = offset + jnp.arange(n, dtype=jnp.int32)
 
     ll0 = log_lik_batch(prior_particles)
     dtype = ll0.dtype
-    target = jnp.asarray(target_ess * n, dtype)
+    n_total = gather(ll0).shape[0]              # GLOBAL particle count
+    target = jnp.asarray(target_ess * n_total, dtype)
 
     def vag_for(beta):
         def pot_rows(x):
@@ -166,14 +224,15 @@ def smc(key: jax.Array,
 
     def mala_sweep(key, beta, lr, position):
         """num_moves exact MALA steps targeting p_beta; returns the moved
-        particles, their loglik, and the mean acceptance."""
+        particles, their loglik, and the GLOBAL mean acceptance.  All
+        per-particle randomness is keyed by the global particle index."""
         vag = vag_for(beta)
         u0, g0 = vag(position)
 
         def body(carry, k):
             pos, u, g = carry
             k_prop, k_mh = jax.random.split(k)
-            noise = tree_random_normal(k_prop, pos)
+            noise = _rowwise_normal(k_prop, pos, gidx)
             prop = jax.tree.map(
                 lambda p, gr, nz: p - lr * gr - langevin_noise_scale(lr) * nz,
                 pos, g, noise)
@@ -186,11 +245,11 @@ def smc(key: jax.Array,
             log_alpha += -1.0 / (4 * lr) * _tree_sum_squares_per_chain(rev)
             log_alpha -= -1.0 / (4 * lr) * _tree_sum_squares_per_chain(fwd)
             accept = jnp.isfinite(log_alpha) & (
-                jnp.log(jax.random.uniform(k_mh, (n,))) < log_alpha)
+                jnp.log(_rowwise_uniform(k_mh, gidx, dtype)) < log_alpha)
             pos = _tree_where_per_chain(accept, prop, pos)
             u = jnp.where(accept, u_new, u)
             g = _tree_where_per_chain(accept, g_new, g)
-            return (pos, u, g), jnp.mean(accept.astype(dtype))
+            return (pos, u, g), jnp.mean(gather(accept.astype(dtype)))
 
         (pos, _, _), accs = jax.lax.scan(
             body, (position, u0, g0), jax.random.split(key, num_moves))
@@ -216,14 +275,25 @@ def smc(key: jax.Array,
 
     def body(c):
         k_res, k_mov, k_next = jax.random.split(c.key, 3)
-        beta_new = _next_beta(c.beta, c.ll, target)
+        ll_all = gather(c.ll)                   # (n_total,)
+        beta_new = _next_beta(c.beta, ll_all, target)
         dbeta = beta_new - c.beta
-        lw = dbeta * c.ll
-        log_z = c.log_z + jax.scipy.special.logsumexp(lw) - jnp.log(
-            jnp.asarray(n, dtype))
-        ess_now = _conditional_ess(dbeta, c.ll)
-        position = systematic_resample(k_res, lw, c.position)
-        lr = jnp.exp(c.log_step) * _pooled_variance(position)
+        lw_all = dbeta * ll_all
+        log_z = c.log_z + jax.scipy.special.logsumexp(lw_all) - jnp.log(
+            jnp.asarray(n_total, dtype))
+        ess_now = _conditional_ess(dbeta, ll_all)
+        # resample from the GLOBAL population: indices are computed on the
+        # gathered weights (identical on every device), each device takes
+        # its own slice of the index vector
+        idx_all = _resample_indices(k_res, lw_all)
+        pos_all = gather_tree(c.position)
+        idx_loc = jax.lax.dynamic_slice(idx_all, (offset,), (n,))
+        position = jax.tree.map(lambda l: jnp.take(l, idx_loc, axis=0),
+                                pos_all)
+        # step scale from the GLOBAL resampled population's pooled variance
+        pos_res_all = jax.tree.map(lambda l: jnp.take(l, idx_all, axis=0),
+                                   pos_all)
+        lr = jnp.exp(c.log_step) * _pooled_variance(pos_res_all)
         position, ll, acc = mala_sweep(k_mov, beta_new, lr, position)
         log_step = c.log_step + adapt_rate * (acc - target_accept)
         i = c.stage

@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Bayesian model selection over GP inducing-grid resolution (VERDICT r3
+item 1's "Done" artifact).
+
+The reference approximates model comparison by fanning M in {4,5,6} over
+an 81-config SLURM array and eyeballing run dirs
+(/root/reference/scripts/vanderpol/gen_configs.py:65-70,
+/root/reference/scripts/vanderpol/gp.py:529-564).  This framework's
+principled replacement: one `inf_type: "evidence"` config per M returns
+absolute log-evidence numbers (TI / stepping-stone / SMC / Laplace, all
+independent estimators) plus predictive WAIC / PSIS-LOO — the grids rank
+directly.
+
+Usage (chip or CPU):
+    PYTHONPATH=/root/repo:$PYTHONPATH python \
+        examples/evidence_model_selection.py --out /tmp/evidence_ms \
+        [--grids 3,4,5] [--quick]
+
+Prints a selection table; per-M artifacts land in the standard
+{out}/Evidence/{id}_M{M}/ layout (evidence.json has every estimate +
+SE + ladder diagnostics).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import jax
+
+from bayesian_ode_tpu.experiments.vanderpol_gp import worker
+from bayesian_ode_tpu.models import make_dataset
+from bayesian_ode_tpu.utils import enable_persistent_cache
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/evidence_ms")
+    ap.add_argument("--grids", default="3,4,5")
+    ap.add_argument("--quick", action="store_true",
+                    help="small budgets (CI smoke); table still prints")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    enable_persistent_cache()
+
+    grids = [int(m) for m in args.grids.split(",")]
+    # the bench problem: 5 VDP trajectories, 60 points, noise 0.05
+    data = make_dataset(jax.random.PRNGKey(2), "vdp", N=5, T=60, t_max=6.0,
+                        noise=0.05, x0_scale=1.5)
+    print(f"# device: {jax.devices()[0]}", file=sys.stderr)
+
+    budget = dict(num_rungs=8, num_chains=16, burn_in=150, num_samples=300,
+                  smc_particles=256, smc_repeats=2, laplace_iters=150) \
+        if args.quick else \
+        dict(num_rungs=16, num_chains=32, burn_in=500, num_samples=1000,
+             smc_particles=1024, smc_repeats=3, laplace_iters=300)
+
+    rows = []
+    for i, M in enumerate(grids):
+        cfg = {"method": "Evidence", "inf_type": "evidence", "id": i,
+               "dir_name": f"_M{M}", "M": M, "sf": 1.0, "ell": 0.75,
+               "noise": 0.05, "lr": 1e-3, "thinning": 1,
+               "seed": args.seed, **budget}
+        out = worker(cfg, data, args.out, make_plots=False)
+        rows.append((M, out))
+        print(f"# M={M} done: ss {out['log_z_ss']:.2f} "
+              f"smc {out['log_z_smc']:.2f}", file=sys.stderr)
+
+    hdr = (f"{'M':>3} {'logZ_SS':>10} {'SE':>6} {'logZ_SMC':>10} {'SE':>6} "
+           f"{'logZ_TI':>10} {'logZ_Lap':>10} {'WAIC':>9} {'LOO':>9} "
+           f"{'khat':>6}")
+    print(hdr)
+    print("-" * len(hdr))
+    for M, o in rows:
+        print(f"{M:>3} {o['log_z_ss']:>10.2f} {o['ss_se']:>6.2f} "
+              f"{o['log_z_smc']:>10.2f} {o['smc_se']:>6.2f} "
+              f"{o['log_z_ti']:>10.2f} {o['log_z_laplace']:>10.2f} "
+              f"{o['waic_elpd']:>9.2f} {o['loo_elpd']:>9.2f} "
+              f"{o['loo_max_khat']:>6.2f}")
+    best = max(rows, key=lambda r: r[1]["log_z_ss"])
+    print(f"\nselected grid by stepping-stone evidence: M={best[0]}")
+    with open(f"{args.out}/selection.json", "w") as f:
+        json.dump({"rows": [{"M": M, **o} for M, o in rows],
+                   "selected_M": best[0]}, f, indent=2, default=str)
+
+
+if __name__ == "__main__":
+    main()

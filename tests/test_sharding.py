@@ -432,3 +432,66 @@ def test_sample_chain_sharded_batched_npsde():
     assert drop > 1.0, drop
     assert abs(got_final - ref_final) < 0.1 * abs(drop), (got_final,
                                                           ref_final, drop)
+
+
+@needs_devices
+def test_smc_sharded_matches_single_device():
+    """VERDICT r3 #5: sharded SMC == single-device SMC.
+
+    Every per-particle draw inside samplers.smc is keyed by the GLOBAL
+    particle index and all stage decisions run on gathered (N,) vectors,
+    so with a row-independent (vmapped) batch potential the sharded run
+    must reproduce the single-device ladder, log Z, and particles
+    exactly."""
+    from bayesian_ode_tpu.parallel import smc_sharded
+
+    d = 3
+    s0, s, n_obs = 1.0, 0.5, 8
+    rng = np.random.default_rng(7)
+    y = jnp.asarray(rng.normal(0.0, s, (n_obs, d)))
+
+    def log_lik_one(p):
+        r = y - p["x"][None, :]
+        return -0.5 * jnp.sum(r * r) / s**2 \
+            - 0.5 * n_obs * d * jnp.log(2 * jnp.pi * s**2)
+
+    def log_prior_one(p):
+        return -0.5 * jnp.sum(p["x"] ** 2) / s0**2 \
+            - 0.5 * d * jnp.log(2 * jnp.pi * s0**2)
+
+    log_lik = jax.vmap(log_lik_one)
+    log_prior = jax.vmap(log_prior_one)
+
+    N = 64
+    prior = {"x": s0 * jax.random.normal(jax.random.PRNGKey(3), (N, d))}
+    key = jax.random.PRNGKey(11)
+
+    ref = jax.block_until_ready(samplers.smc(
+        key, log_lik, log_prior, prior, num_moves=3, max_stages=50))
+    mesh = make_mesh(8, axis="particle")
+    got = jax.block_until_ready(smc_sharded(
+        key, log_lik, log_prior, prior, mesh, num_moves=3, max_stages=50))
+
+    assert int(got.num_stages) == int(ref.num_stages)
+    ns = int(ref.num_stages)
+    np.testing.assert_allclose(np.asarray(got.betas)[:ns],
+                               np.asarray(ref.betas)[:ns], rtol=1e-12)
+    np.testing.assert_allclose(float(got.log_z), float(ref.log_z),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(got.particles["x"]),
+                               np.asarray(ref.particles["x"]), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(got.log_lik),
+                               np.asarray(ref.log_lik), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(got.accept_rate)[:ns],
+                               np.asarray(ref.accept_rate)[:ns], atol=1e-12)
+
+
+@needs_devices
+def test_smc_sharded_validates_particle_count():
+    from bayesian_ode_tpu.parallel import smc_sharded
+
+    mesh = make_mesh(8, axis="particle")
+    prior = {"x": jnp.zeros((12, 2))}     # 12 % 8 != 0
+    with pytest.raises(ValueError, match="divide"):
+        smc_sharded(jax.random.PRNGKey(0), jax.vmap(lambda p: 0.0),
+                    jax.vmap(lambda p: 0.0), prior, mesh)
