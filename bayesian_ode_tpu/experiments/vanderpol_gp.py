@@ -821,7 +821,14 @@ def run_evidence(config: Dict, data: Dict, output: str,
             atol=config.get("atol", 1e-9))
     else:
         solve = lambda f, x0, t: odeint_adjoint(f, x0, t, method=solver)
-    prec = jax.lax.Precision.HIGHEST if adaptive else None
+    # evidence estimation consumes ABSOLUTE log-densities (log Z, Hessian
+    # log-dets, pointwise log-liks) — TPU's default bf16 matmul passes
+    # put O(10)-nat noise on a ~1000-nat GP-ODE potential and make the
+    # Laplace Hessian read non-PD at the true mode (observed 2026-08-21,
+    # v5e), so the evidence path always runs HIGHEST-precision RHS
+    # matmuls, fixed-grid solvers included (SG-MCMC keeps the fast
+    # default: its step noise dwarfs bf16 noise)
+    prec = jax.lax.Precision.HIGHEST
     Z = kr.make_inducing_grid(data["Y"], M=config["M"])
     static = kr.make_static(Z, sf=config["sf"], ell=config["ell"])
     noise0 = float(config.get("noise", data["noise"]))
@@ -872,11 +879,30 @@ def run_evidence(config: Dict, data: Dict, output: str,
     smc_se = (float(np.std(smc_logz, ddof=1) / np.sqrt(n_repeats))
               if n_repeats > 1 else float("nan"))
 
-    # --- Laplace (deterministic cross-check) ---
-    lap = samplers.laplace_approximation(
-        parts.potential, params0,
-        max_iters=config.get("laplace_iters", 200),
-        lr=config.get("laplace_lr", 1.0))
+    # --- Laplace (deterministic cross-check) — on CPU in float64: the
+    # Hessian log-det consumes eigenvalues far below f32 resolution of a
+    # ~1000-nat GP-ODE potential (the chip reads the true mode's Hessian
+    # as non-PD even with HIGHEST-precision matmuls, 2026-08-21), and
+    # the estimator is a few hundred solves, so f64 CPU is cheap
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu), jax.enable_x64(True):
+        d64 = {k: (np.asarray(v, np.float64)
+                   if hasattr(v, "dtype") or isinstance(v, (list, tuple))
+                   else v)
+               for k, v in data.items()}
+        Z64 = kr.make_inducing_grid(d64["Y"], M=config["M"])
+        static64 = kr.make_static(Z64, sf=config["sf"], ell=config["ell"])
+        params64 = kr.init_params(d64["Y"], d64["t"], static64,
+                                  noise=noise0)
+        parts64 = kr.make_log_density_parts(
+            static64, d64["x0"], d64["t"], d64["Y"], solve,
+            precision=prec, logsn_mu=config.get("logsn_mu"),
+            logsn_sd=config.get("logsn_sd", 1.0), noise=noise0)
+        lap = samplers.laplace_approximation(
+            parts64.potential, params64,
+            max_iters=config.get("laplace_iters", 200),
+            lr=config.get("laplace_lr", 1.0))
+        lap = jax.tree.map(np.asarray, jax.device_get(lap))
 
     # --- predictive scores from the last SMC run's posterior particles
     ll_matrix = jax.vmap(parts.pointwise_log_lik)(smc_res.particles)

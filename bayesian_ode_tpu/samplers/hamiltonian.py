@@ -548,14 +548,30 @@ class AdaptiveHMCState(NamedTuple):
     mass_g: PyTree          # current diagonal inverse-mass G
 
 
-def _adaptive_init(vag, eps0, per_chain):
-    """Initial AdaptiveHMCState shared by adaptive HMC and NUTS."""
+def _adaptive_init(vag, eps0, per_chain, init_mass=None):
+    """Initial AdaptiveHMCState shared by adaptive HMC and NUTS.
+
+    `init_mass`: optional diagonal inverse-mass pytree used for warmup
+    phase 1 instead of the identity.  On stiff posteriors (the GP-ODE
+    flagship) identity-mass warmup leapfrogs diverge or drive NUTS to
+    max-depth trees for thousands of steps; seeding with the frozen
+    warmup-pSGLD metric (`psgld_preconditioner`, the repo's validated
+    protocol) makes phase 1 immediately productive.  The Welford A/2
+    switch still replaces it with the measured posterior variance when
+    `adapt_mass` is on (Stan's init-metric semantics)."""
 
     def init(position):
         u, g = vag(position)
         log_eps = jnp.full(u.shape, jnp.log(eps0), jnp.float32) \
             if per_chain else jnp.asarray(jnp.log(eps0), jnp.float32)
         zeros = jnp.zeros_like(log_eps)
+        if init_mass is None:
+            mass_g = jax.tree.map(jnp.ones_like, position)
+        else:
+            mass_g = jax.tree.map(
+                lambda m, x: jnp.broadcast_to(
+                    jnp.asarray(m, x.dtype), x.shape),
+                init_mass, position)
         return AdaptiveHMCState(
             position=position, potential=u, grad=g,
             step=jnp.asarray(0, jnp.int32),
@@ -563,7 +579,7 @@ def _adaptive_init(vag, eps0, per_chain):
             mu=log_eps + jnp.log(10.0),
             mean=jax.tree.map(jnp.zeros_like, position),
             m2=jax.tree.map(jnp.zeros_like, position),
-            mass_g=jax.tree.map(jnp.ones_like, position),
+            mass_g=mass_g,
         )
 
     return init
@@ -642,7 +658,7 @@ def _warmup_advance(state, position, a_prob, num_adapt, target_accept,
 
 
 def _make_adaptive_hmc(vag, eps0, num_adapt, target_accept, num_leapfrog,
-                       jitter, adapt_mass, per_chain):
+                       jitter, adapt_mass, per_chain, init_mass=None):
     """HMC with Stan-style warmup: dual-averaging step size (Hoffman &
     Gelman 2014 §3.2) and Welford diagonal inverse-mass estimation, both
     FROZEN after `num_adapt` steps so the post-warmup chain is exactly
@@ -663,7 +679,7 @@ def _make_adaptive_hmc(vag, eps0, num_adapt, target_accept, num_leapfrog,
     `sample_chains`'s vmap provides it.  DA constants are Stan's
     (gamma=0.05, t0=10, kappa=0.75).
     """
-    init = _adaptive_init(vag, eps0, per_chain)
+    init = _adaptive_init(vag, eps0, per_chain, init_mass)
 
     def step(key, state):
         key_prop, key_mh = jax.random.split(key)
@@ -705,24 +721,31 @@ def _make_adaptive_hmc(vag, eps0, num_adapt, target_accept, num_leapfrog,
 def adaptive_hmc(potential_fn: Callable, num_adapt: int,
                  step_size: float = 0.1, target_accept: float = 0.8,
                  num_leapfrog: int = 10, jitter: float = 0.2,
-                 adapt_mass: bool = True) -> TransitionKernel:
+                 adapt_mass: bool = True,
+                 init_mass: Optional[PyTree] = None) -> TransitionKernel:
     """Warmup-adaptive exact HMC over a per-chain potential (vmap across
     chains with `sample_chains`; set burn_in >= num_adapt).  See
-    `_make_adaptive_hmc`."""
+    `_make_adaptive_hmc`; `init_mass` seeds the warmup metric
+    (`_adaptive_init`)."""
     return _make_adaptive_hmc(jax.value_and_grad(potential_fn), step_size,
                               num_adapt, target_accept, num_leapfrog,
-                              jitter, adapt_mass, per_chain=False)
+                              jitter, adapt_mass, per_chain=False,
+                              init_mass=init_mass)
 
 
 def adaptive_hmc_batched(potential_batch: Callable, num_adapt: int,
                          step_size: float = 0.1,
                          target_accept: float = 0.8,
                          num_leapfrog: int = 10, jitter: float = 0.2,
-                         adapt_mass: bool = True) -> TransitionKernel:
+                         adapt_mass: bool = True,
+                         init_mass: Optional[PyTree] = None
+                         ) -> TransitionKernel:
     """Warmup-adaptive exact HMC over the fused batch-potential contract:
     every chain adapts its own step size and diagonal inverse-mass from
-    its own warmup history, all inside the one fused-kernel step loop."""
+    its own warmup history, all inside the one fused-kernel step loop.
+    `init_mass` seeds the warmup metric (see `_adaptive_init` — on the
+    stiff GP posterior pass `psgld_preconditioner(warmup_state)`)."""
     return _make_adaptive_hmc(batch_value_and_grad(potential_batch),
                               step_size, num_adapt, target_accept,
                               num_leapfrog, jitter, adapt_mass,
-                              per_chain=True)
+                              per_chain=True, init_mass=init_mass)

@@ -385,8 +385,8 @@ def nuts_batched(potential_batch: Callable, step_size,
 
 
 def _make_adaptive_nuts(vag, eps0, num_adapt, target_accept, max_depth,
-                        adapt_mass, max_delta, per_chain):
-    init = _adaptive_init(vag, eps0, per_chain)
+                        adapt_mass, max_delta, per_chain, init_mass=None):
+    init = _adaptive_init(vag, eps0, per_chain, init_mass)
 
     def step(key, state):
         in_adapt = state.step < num_adapt
@@ -426,7 +426,8 @@ def _make_adaptive_nuts(vag, eps0, num_adapt, target_accept, max_depth,
 def adaptive_nuts(potential_fn: Callable, num_adapt: int,
                   step_size: float = 0.1, target_accept: float = 0.8,
                   max_depth: int = 10, adapt_mass: bool = True,
-                  max_delta_energy: float = 1000.0) -> TransitionKernel:
+                  max_delta_energy: float = 1000.0,
+                  init_mass: Optional[PyTree] = None) -> TransitionKernel:
     """NUTS with Stan-style warmup (dual-averaging step size on the
     trajectory-mean accept statistic + Welford diagonal inverse-mass,
     both frozen at `num_adapt`; set burn_in >= num_adapt).  This is the
@@ -435,19 +436,23 @@ def adaptive_nuts(potential_fn: Callable, num_adapt: int,
     return _make_adaptive_nuts(jax.value_and_grad(potential_fn),
                                step_size, num_adapt, target_accept,
                                max_depth, adapt_mass, max_delta_energy,
-                               per_chain=False)
+                               per_chain=False, init_mass=init_mass)
 
 
 def adaptive_nuts_batched(potential_batch: Callable, num_adapt: int,
                           step_size: float = 0.1,
                           target_accept: float = 0.8,
                           max_depth: int = 10, adapt_mass: bool = True,
-                          max_delta_energy: float = 1000.0
+                          max_delta_energy: float = 1000.0,
+                          init_mass: Optional[PyTree] = None
                           ) -> TransitionKernel:
     """Warmup-adaptive NUTS over the fused batch-potential contract:
     each chain adapts its own (eps, diagonal inverse-mass) and grows its
-    own trees, all inside one lockstep fused-kernel loop."""
+    own trees, all inside one lockstep fused-kernel loop.  `init_mass`
+    seeds the warmup metric (see `_adaptive_init` — on the stiff GP
+    posterior pass `psgld_preconditioner(warmup_state)`; identity-mass
+    warmup there drives every early tree to max depth)."""
     return _make_adaptive_nuts(batch_value_and_grad(potential_batch),
                                step_size, num_adapt, target_accept,
                                max_depth, adapt_mass, max_delta_energy,
-                               per_chain=True)
+                               per_chain=True, init_mass=init_mass)

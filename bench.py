@@ -265,7 +265,16 @@ def npsde_psgld_effective_samples(static, params0, n_chains, num_samples,
     the data points, and K(X, Z) is shared by every chain, so the whole
     batch potential is ONE (N, M^2) x (M^2, C*D) matmul — pure MXU work.
     The step rate is consequently launch/elementwise-bound, far above the
-    solve-bound ODE phases."""
+    solve-bound ODE phases.
+
+    lr=2e-3 is bias-validated ON THIS POSTERIOR (2026-08-20, v5e,
+    scripts/validate_npsde_bias.py — the same protocol as the ODE
+    posterior): exact preconditioned MALA (frozen warmup-pSGLD metric,
+    acc 0.86, 24k steps) reads logsd mean (-2.248, -2.314) std (0.043,
+    0.045); constant-lr pSGLD at 2e-3 sits (0.22, 0.23) sigma from that
+    limit (5e-4: 0.48/0.65 sigma — the SMALL steps are the less
+    equilibrated ones in a 12k-step window, the ladder converges toward
+    the exact limit as lr grows through 4e-3 at 0.15/0.16 sigma)."""
     from bayesian_ode_tpu import samplers, sde
     from bayesian_ode_tpu.models import dynamics
 
@@ -310,7 +319,8 @@ def fused_asghmc_effective_samples(data, static, params0, kr, n_chains,
 
 def exact_sampler_effective_samples(data, static, params0, kr, n_chains,
                                     num_samples, burn_in, which="nuts",
-                                    max_depth=8, num_leapfrog=8):
+                                    max_depth=8, num_leapfrog=8,
+                                    warm_steps=2000):
     """VERDICT r3 #2: zero-bias effective samples/sec of the EXACT
     samplers (warmup-adaptive NUTS / HMC, MH-corrected — no step-size
     bias to validate) over the fused rk4 GP batch potential.  Each
@@ -323,30 +333,74 @@ def exact_sampler_effective_samples(data, static, params0, kr, n_chains,
     target_accept=0.8 and freezes a Welford diagonal mass matrix; kept
     samples are exactly posterior-marginal (up to warmup equilibration —
     the 400+400 window is the same protocol every fused phase uses).
-    Returns (ess/s, leapfrogs/s, dt, C, mean_leapfrogs_per_draw,
-    accept_rate, logsn moments) — moments are gated in main() against
-    the exact-MALA-validated limit (CLAUDE.md: mean (-2.97,-2.78), std
-    ~0.045-0.048)."""
+    The warmup METRIC is seeded with the frozen warmup-pSGLD
+    preconditioner (samplers.psgld_preconditioner — the repo's validated
+    protocol for exact kernels on this stiff posterior): identity-mass
+    warmup here maxes out every early NUTS tree (2^max_depth fused
+    leapfrogs/step for thousands of steps) and trips the axon TPU
+    watchdog before dual averaging can recover (observed 2026-08-20).
+    Chains start from a 2,000-step pSGLD-warmed batch for the same
+    reason.  Returns (ess/s, leapfrogs/s, dt, C,
+    mean_leapfrogs_per_draw, accept_rate, logsn moments) — moments are
+    gated in main() against the exact-MALA-validated limit (CLAUDE.md:
+    mean (-2.97,-2.78), std ~0.045-0.048)."""
     from bayesian_ode_tpu import samplers
 
     pos0, pot, C = _fused_gp_setup(data, static, params0, n_chains)
+    # metric + start-point warmup (the psgld_preconditioner protocol)
+    wkernel = samplers.psgld_batched(pot, 1e-3)
+    wstate = wkernel.init(pos0)
+    warm = jax.jit(lambda s, k: samplers.sample_chain(
+        wkernel, s, k, num_samples=1, burn_in=warm_steps - 1)[0])
+    wstate = jax.block_until_ready(warm(wstate, jax.random.PRNGKey(5)))
+    G = samplers.psgld_preconditioner(wstate)
+    pos0 = wstate.position
+    # eps0 matches the validated preconditioned-MALA scale (lr=3e-4 ->
+    # proposal std sqrt(2*lr*G) == leapfrog step eps*sqrt(G) at
+    # eps=sqrt(2*lr)~0.025); dual averaging refines from there
     if which == "nuts":
         kernel = samplers.adaptive_nuts_batched(
-            pot, num_adapt=burn_in, step_size=1e-3, max_depth=max_depth,
-            target_accept=0.8)
+            pot, num_adapt=burn_in, step_size=0.02, max_depth=max_depth,
+            target_accept=0.8, init_mass=G)
     elif which == "hmc":
         kernel = samplers.adaptive_hmc_batched(
-            pot, num_adapt=burn_in, step_size=1e-3,
-            num_leapfrog=num_leapfrog, target_accept=0.8, jitter=0.2)
+            pot, num_adapt=burn_in, step_size=0.02,
+            num_leapfrog=num_leapfrog, target_accept=0.8, jitter=0.2,
+            init_mass=G)
     else:
         raise ValueError(which)
     state = kernel.init(pos0)
-    run = jax.jit(lambda s, k: samplers.sample_chain(
-        kernel, s, k, num_samples=num_samples, burn_in=burn_in))
-    jax.block_until_ready(run(state, jax.random.PRNGKey(0)))
+    # NUTS trees on this posterior run to the depth cap (the metric makes
+    # it ~unit-scale in 74 dims, so the U-turn needs ~pi/eps ~ hundreds
+    # of leapfrogs) — a single (burn_in+samples)-step XLA program would
+    # execute minutes of device time and the axon watchdog kills it
+    # (observed 2026-08-20).  Run in bounded segments with a host sync
+    # between; the kernel's internal step counter carries the warmup
+    # schedule across segments.
+    # segment budget ~6,400 worst-case leapfrogs per dispatch (~15-30s
+    # of device time at 2,048 chains)
+    per_draw = 2 ** max_depth if which == "nuts" else num_leapfrog
+    seg = max(1, min(6400 // per_draw, 100, num_samples))
+    run_seg = jax.jit(lambda s, k: samplers.sample_chain(
+        kernel, s, k, num_samples=seg, burn_in=0))
+
+    def run_chunks(state, key, total):
+        pos_parts, info_parts = [], []
+        for i in range((total + seg - 1) // seg):
+            state, p, inf = jax.block_until_ready(
+                run_seg(state, jax.random.fold_in(key, i)))
+            pos_parts.append(p)
+            info_parts.append(inf)
+        cat = lambda *xs: jnp.concatenate(xs, axis=0)[:total]
+        return (state, jax.tree.map(cat, *pos_parts) if len(pos_parts) > 1
+                else pos_parts[0],
+                jax.tree.map(cat, *info_parts) if len(info_parts) > 1
+                else info_parts[0])
+
+    state, _, _ = run_chunks(state, jax.random.PRNGKey(0), burn_in)
     t0 = time.perf_counter()
-    _, positions, infos = jax.block_until_ready(
-        run(state, jax.random.PRNGKey(9)))
+    _, positions, infos = run_chunks(state, jax.random.PRNGKey(9),
+                                     num_samples)
     dt = time.perf_counter() - t0
     kept = jnp.swapaxes(positions["logsn"], 0, 1)       # (C, samples, 2)
     ess0 = float(samplers.ess(kept[:, :, 0]))
@@ -994,10 +1048,15 @@ def main():
         if which not in phases or args.quick:
             continue
         try:
+            # max_depth=6: the preconditioned posterior is ~unit-scale in
+            # 74 dims, so the U-turn needs ~pi/eps >> 63 leapfrogs and
+            # trees cap at ANY practical depth — deeper caps cost 2^d
+            # fused evals/draw with no window-ESS gain (400-sample
+            # windows are chain-count-limited, ~1.8x chains)
             (x_eff, x_lps, x_dt, x_C, x_leap, x_acc, x_mom) = _retry(
                 exact_sampler_effective_samples, data, static, params0, kr,
-                min(args.chains, 2048), args.samples, args.burn_in,
-                which=which,
+                args.chains, args.samples, args.burn_in,
+                which=which, max_depth=6,
             )
             print(f"# {which} (exact, fused potential, {x_C} chains): "
                   f"{x_eff:.0f} ess/s, {x_lps:.0f} leapfrogs/s, "

@@ -77,8 +77,15 @@ def main():
               f"{o['log_z_ti']:>10.2f} {o['log_z_laplace']:>10.2f} "
               f"{o['waic_elpd']:>9.2f} {o['loo_elpd']:>9.2f} "
               f"{o['loo_max_khat']:>6.2f}")
-    best = max(rows, key=lambda r: r[1]["log_z_ss"])
-    print(f"\nselected grid by stepping-stone evidence: M={best[0]}")
+    # SMC is the primary selector on ODE posteriors: its annealed
+    # prior-to-posterior population with ESS-controlled stages is
+    # structurally matched to fields whose prior-scale trajectories
+    # explode; parallel power-posterior (TI/SS) ladders must equilibrate
+    # every hot rung in that same exploding regime, so their estimates
+    # carry large equilibration bias at practical budgets (the recorded
+    # per-rung mean_log_lik in evidence.json makes this visible).
+    best = max(rows, key=lambda r: r[1]["log_z_smc"])
+    print(f"\nselected grid by SMC evidence: M={best[0]}")
     with open(f"{args.out}/selection.json", "w") as f:
         json.dump({"rows": [{"M": M, **o} for M, o in rows],
                    "selected_M": best[0]}, f, indent=2, default=str)

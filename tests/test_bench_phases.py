@@ -53,7 +53,8 @@ def test_exact_sampler_phase_smoke():
     for which in ("nuts", "hmc"):
         eff, lps, dt, C, leap, acc, mom = bench.exact_sampler_effective_samples(
             data, static, params0, kr, n_chains=128, num_samples=6,
-            burn_in=6, which=which, max_depth=2, num_leapfrog=2)
+            burn_in=6, which=which, max_depth=2, num_leapfrog=2,
+            warm_steps=4)
         assert dt > 0 and C == 128 and lps > 0
         assert 0.0 <= acc <= 1.0
         assert leap >= 1.0

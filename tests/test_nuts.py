@@ -204,3 +204,68 @@ def test_nuts_pytree_positions():
     sb = np.asarray(positions["b"]).reshape(-1, 4).std(0)
     assert np.all(np.abs(sa - 1.0) < 0.2)
     assert np.all(np.abs(sb - 2.0) < 0.4)
+
+
+def test_adaptive_nuts_init_mass_seeds_warmup_metric():
+    """init_mass (the psgld_preconditioner protocol) seeds warmup phase 1:
+    on a badly scaled Gaussian the seeded sampler needs far fewer
+    leapfrogs per draw during early warmup than identity-mass warmup,
+    and the posterior moments still come out right."""
+    scales = jnp.asarray([100.0, 1.0, 0.01])
+
+    def pot_batch(p):
+        return 0.5 * jnp.sum((p["x"] / scales) ** 2, axis=-1)
+
+    C, T = 32, 60
+    pos0 = {"x": 0.1 * scales * jax.random.normal(
+        jax.random.PRNGKey(0), (C, 3))}
+    leaps = {}
+    for label, init_mass in (("identity", None),
+                             ("seeded", {"x": scales ** 2})):
+        kernel = samplers.adaptive_nuts_batched(
+            pot_batch, num_adapt=T, step_size=0.02, max_depth=8,
+            init_mass=init_mass)
+        state = kernel.init(pos0)
+        if init_mass is not None:
+            np.testing.assert_allclose(np.asarray(state.mass_g["x"]),
+                                       np.asarray(scales ** 2)[None] *
+                                       np.ones((C, 1)))
+        _, _, infos = samplers.sample_chain(
+            kernel, state, jax.random.PRNGKey(1), num_samples=T,
+            burn_in=0)
+        leaps[label] = float(jnp.mean(
+            infos["n_leapfrog"].astype(jnp.float32)))
+    # the correct metric turns a 1e4-condition problem into a unit one
+    assert leaps["seeded"] * 4 < leaps["identity"], leaps
+
+    # and with the seeded metric the frozen chain hits the right moments
+    kernel = samplers.adaptive_nuts_batched(
+        pot_batch, num_adapt=200, step_size=0.02, max_depth=8,
+        init_mass={"x": scales ** 2})
+    state = kernel.init(pos0)
+    _, positions, _ = samplers.sample_chain(
+        kernel, state, jax.random.PRNGKey(2), num_samples=300,
+        burn_in=200)
+    got = np.asarray(positions["x"]).reshape(-1, 3).std(0)
+    np.testing.assert_allclose(got, np.asarray(scales), rtol=0.25)
+
+
+def test_adaptive_hmc_init_mass():
+    scales = jnp.asarray([30.0, 0.1])
+
+    def pot_batch(p):
+        return 0.5 * jnp.sum((p["x"] / scales) ** 2, axis=-1)
+
+    kernel = samplers.adaptive_hmc_batched(
+        pot_batch, num_adapt=200, step_size=0.02, num_leapfrog=8,
+        init_mass={"x": scales ** 2})
+    pos0 = {"x": 0.1 * scales * jax.random.normal(
+        jax.random.PRNGKey(3), (32, 2))}
+    state = kernel.init(pos0)
+    _, positions, infos = samplers.sample_chain(
+        kernel, state, jax.random.PRNGKey(4), num_samples=300,
+        burn_in=200)
+    got = np.asarray(positions["x"]).reshape(-1, 2).std(0)
+    np.testing.assert_allclose(got, np.asarray(scales), rtol=0.25)
+    assert float(jnp.mean(infos["accepted"][-100:].astype(
+        jnp.float32))) > 0.5
