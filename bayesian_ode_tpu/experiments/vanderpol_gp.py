@@ -424,6 +424,44 @@ def run_sampler(config: Dict, data: Dict, output: str,
                                               (n_chains,)
                                               + infos["accepted"].shape),
                  "step_size": infos["step_size"]}
+    elif config["method"] == "SMC":
+        # Posterior sampling by adaptive tempered SMC: the prior-annealed
+        # population is the structurally-matched sampler for ODE
+        # posteriors (see run_evidence).  Particles double as chains; the
+        # final population is recorded as one kept sample per particle,
+        # and log Z lands in the summary for free.
+        if config.get("model", "gp") == "nn":
+            raise ValueError("method='SMC' supports the GP model "
+                             "(the MLP field has no normalized "
+                             "log-density split)")
+        noise0 = float(config.get("noise", data["noise"]))
+        solver = config.get("solver", "rk4")
+        if solver in ("dopri5", "tsit5", "adams"):
+            solve = lambda f, x0, t: odeint_adjoint(
+                f, x0, t, method=solver, rtol=config.get("rtol", 1e-7),
+                atol=config.get("atol", 1e-9))
+        else:
+            solve = lambda f, x0, t: odeint_adjoint(f, x0, t, method=solver)
+        parts = kr.make_log_density_parts(
+            static, data["x0"], data["t"], data["Y"], solve,
+            precision=jax.lax.Precision.HIGHEST,
+            logsn_mu=config.get("logsn_mu"),
+            logsn_sd=config.get("logsn_sd", 1.0), noise=noise0)
+        key = jax.random.PRNGKey(config.get("seed", 0))
+        particles0 = parts.sample_prior(key, n_chains)
+        res = jax.block_until_ready(samplers.smc(
+            jax.random.fold_in(key, 1), jax.vmap(parts.log_lik),
+            jax.vmap(parts.log_prior), particles0,
+            num_moves=config.get("smc_moves", 5),
+            target_ess=config.get("smc_target_ess", 0.5),
+            max_stages=config.get("smc_max_stages", 100)))
+        positions = jax.tree.map(lambda x: x[:, None], res.particles)
+        pots = -(res.log_lik
+                 + jax.vmap(parts.log_prior)(res.particles))[:, None]
+        infos = {"potential": pots,
+                 "accepted": jnp.ones((n_chains, 1), bool),
+                 "step_size": res.step_sizes,
+                 "log_z": res.log_z}
     else:
         kernel = make_sampler(config, potential)
         if config.get("guard_finite"):
@@ -451,10 +489,15 @@ def run_sampler(config: Dict, data: Dict, output: str,
         # nn model: diagnose the first two final-layer bias coordinates
         lead = jax.tree.leaves(positions)[-1]
         diag = lead.reshape(lead.shape[0], lead.shape[1], -1)[:, :, :2]
-    ess_logsn = [float(samplers.ess(diag[:, :, d]))
-                 for d in range(diag.shape[-1])]
-    rhat_logsn = [float(samplers.split_rhat(diag[:, :, d]))
-                  for d in range(diag.shape[-1])]
+    if diag.shape[1] >= 4:
+        ess_logsn = [float(samplers.ess(diag[:, :, d]))
+                     for d in range(diag.shape[-1])]
+        rhat_logsn = [float(samplers.split_rhat(diag[:, :, d]))
+                      for d in range(diag.shape[-1])]
+    else:
+        # population methods (SMC) record one kept sample per particle;
+        # chain autocorrelation diagnostics are undefined there
+        ess_logsn = rhat_logsn = [float("nan")] * diag.shape[-1]
     acc = float(jnp.mean(infos["accepted"].astype(jnp.float32))) \
         if "accepted" in infos else 1.0
     summary = {
@@ -467,6 +510,8 @@ def run_sampler(config: Dict, data: Dict, output: str,
     if isinstance(infos, dict) and "swap_accepted" in infos:
         summary["swap_acceptance"] = float(
             jnp.mean(infos["swap_accepted"].astype(jnp.float32)))
+    if isinstance(infos, dict) and "log_z" in infos:
+        summary["log_z_smc"] = float(infos["log_z"])
     logger.log(summary)
     logger.close()
 

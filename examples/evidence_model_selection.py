@@ -53,7 +53,8 @@ def main():
                   smc_particles=256, smc_repeats=2, laplace_iters=150) \
         if args.quick else \
         dict(num_rungs=16, num_chains=32, burn_in=500, num_samples=1000,
-             smc_particles=1024, smc_repeats=3, laplace_iters=300)
+             smc_particles=2048, smc_repeats=3, smc_moves=8,
+             laplace_iters=300)
 
     rows = []
     for i, M in enumerate(grids):

@@ -526,3 +526,17 @@ def test_run_evidence_estimators_agree(tmp_path, tiny_data):
     detail = json.loads((d / "evidence.json").read_text())
     assert len(detail["ladder_betas"]) == 8
     assert len(detail["smc_log_z_repeats"]) == 2
+
+
+def test_run_sampler_smc(tmp_path, tiny_data):
+    # SMC as a driver sampler method: prior-annealed population,
+    # posterior particles in the standard artifact layout, log Z in the
+    # summary for free
+    cfg = tiny_config("SMC", num_chains=64, smc_moves=3, smc_max_stages=40)
+    summary = run_sampler(cfg, tiny_data, str(tmp_path), make_plots=False)
+    assert np.isfinite(summary["min_potential"])
+    assert np.isfinite(summary["log_z_smc"])
+    out_dir = tmp_path / "SMC" / "1"
+    assert (out_dir / "chain.npz").exists()
+    chain = np.load(out_dir / "chain.npz")
+    assert chain["leaf_0"].shape[:2] == (64, 1)   # (particles, 1 sample)
