@@ -937,14 +937,22 @@ def run_evidence(config: Dict, data: Dict, output: str,
                for k, v in data.items()}
         Z64 = kr.make_inducing_grid(d64["Y"], M=config["M"])
         static64 = kr.make_static(Z64, sf=config["sf"], ell=config["ell"])
-        params64 = kr.init_params(d64["Y"], d64["t"], static64,
-                                  noise=noise0)
         parts64 = kr.make_log_density_parts(
             static64, d64["x0"], d64["t"], d64["Y"], solve,
             precision=prec, logsn_mu=config.get("logsn_mu"),
             logsn_sd=config.get("logsn_sd", 1.0), noise=noise0)
+        # MAP warm start = the best SMC particle: the gradient-matching
+        # init sits behind exploding-trajectory cliffs on some datasets
+        # (L-BFGS stalls there even with non-finite-step rejection,
+        # 2026-08-21), while a posterior-typical particle starts in the
+        # same basin SMC integrates over — which is also the mode the
+        # Laplace cross-check SHOULD expand around
+        best = int(jnp.argmax(
+            smc_res.log_lik + jax.vmap(parts.log_prior)(smc_res.particles)))
+        init64 = jax.tree.map(
+            lambda l: np.asarray(l[best], np.float64), smc_res.particles)
         lap = samplers.laplace_approximation(
-            parts64.potential, params64,
+            parts64.potential, init64,
             max_iters=config.get("laplace_iters", 200),
             lr=config.get("laplace_lr", 1.0))
         lap = jax.tree.map(np.asarray, jax.device_get(lap))

@@ -272,7 +272,15 @@ def lbfgs_step(fn_value_and_grad: Callable, state: LBFGSState, lr: float = 1.0,
     d = jnp.where(desc, d, -state.grad)
     gtd = jnp.where(desc, gtd, -jnp.dot(state.grad, state.grad))
 
-    t0 = jnp.asarray(lr, state.position.dtype)
+    # after a failed/rejected step, restart the search from a quarter of
+    # the LAST TRIAL step instead of lr — consecutive failures then
+    # shrink geometrically (t/4, t/16, ...), so a non-finite cliff
+    # (exploding ODE trajectories) arbitrarily close to the iterate
+    # cannot stall the optimization the way a fixed restart can
+    dt_ = state.position.dtype
+    t_restart = jnp.clip(0.25 * state.t, jnp.asarray(1e-10, dt_),
+                         jnp.asarray(lr, dt_))
+    t0 = jnp.where(state.fail, t_restart, jnp.asarray(lr, dt_))
     fn = lambda x: fn_value_and_grad(x)[0]
     if line_search == "none":
         t, fail = t0, jnp.asarray(False)
@@ -292,9 +300,21 @@ def lbfgs_step(fn_value_and_grad: Callable, state: LBFGSState, lr: float = 1.0,
 
     new_pos = state.position + t * d
     F, g = fn_value_and_grad(new_pos)
+    # Reject the move unless it is finite AND (the search succeeded or
+    # the value strictly improved).  On ODE posteriors a trial step into
+    # an exploding-trajectory region returns inf/nan; the reference's
+    # eager loop would raise there, but a jitted scan must not let one
+    # non-finite trial poison the (s, y) history and every later iterate
+    # (observed: L-BFGS on the GP-VDP MAP at M>=4 accepted an inf at
+    # iter 3 and returned nan forever, 2026-08-21).  A rejected step
+    # holds the position; `fail` feeds the existing fail-skip counter.
+    accept = jnp.isfinite(F) & (~fail | (F < state.value))
+    new_pos = jnp.where(accept, new_pos, state.position)
+    F = jnp.where(accept, F, state.value)
+    g = jnp.where(accept, g, state.grad)
     return state._replace(
         position=new_pos, value=F, grad=g, prev_grad=state.grad, t=t, d=d,
-        fail=fail, n_iter=state.n_iter + 1,
+        fail=fail | ~accept, n_iter=state.n_iter + 1,
     )
 
 

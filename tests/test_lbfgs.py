@@ -234,3 +234,26 @@ def test_interpolation_reduces_rosenbrock_closure_work():
         )
         iters[interpolate] = first_below(trace)
     assert iters[True] < iters[False], iters
+
+
+def test_lbfgs_survives_inf_cliff():
+    """Regression (2026-08-21): a trial step into a non-finite region
+    (exploding ODE trajectories on GP-ODE MAP fits) must be rejected,
+    not accepted into the state — one inf used to nan-poison the (s, y)
+    history and every later iterate.  The cliff sits close enough that
+    default-lr trial steps overshoot into it."""
+    from bayesian_ode_tpu.optim import lbfgs_minimize
+
+    def f(p):
+        x = p["x"]
+        quad = jnp.sum((x - 1.0) ** 2)
+        return jnp.where(jnp.max(jnp.abs(x)) > 1.6, jnp.inf, quad)
+
+    x0 = {"x": jnp.asarray([-1.4, -1.5])}     # steps toward 1.0 overshoot
+    pos, val, trace, state = lbfgs_minimize(f, x0, max_iters=60)
+    trace = np.asarray(trace)
+    assert np.isfinite(trace).all(), trace[:10]
+    # monotone non-increasing values (rejected steps hold the value)
+    assert np.all(np.diff(trace) <= 1e-12)
+    assert float(val) < 1e-6, float(val)
+    np.testing.assert_allclose(np.asarray(pos["x"]), [1.0, 1.0], atol=1e-3)
