@@ -978,6 +978,7 @@ def run_evidence(config: Dict, data: Dict, output: str,
     detail.update({
         "smc_log_z_repeats": smc_logz,
         "smc_num_stages": int(smc_res.num_stages),
+        "ladder_nonfinite_draws": int(res.num_nonfinite),
         "ladder_betas": np.asarray(res.betas).tolist(),
         "ladder_accept": np.asarray(res.accept_rate).tolist(),
         "ladder_steps": np.asarray(res.step_sizes).tolist(),

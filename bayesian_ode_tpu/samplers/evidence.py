@@ -88,6 +88,10 @@ class EvidenceResult(NamedTuple):
     ti_se: jax.Array           # per-chain-spread SE of log_z_ti
     ss_se: jax.Array           # per-chain-spread SE of log_z_ss
     step_sizes: jax.Array      # (K,) per-rung MALA steps used for sampling
+    num_nonfinite: jax.Array   # retained draws with non-finite loglik
+    #                            (exploded ODE solves at hot rungs; they
+    #                            enter the estimators as a finite floor
+    #                            max_ll - 1e4, i.e. zero bridge weight)
 
 
 def _check_betas(betas) -> np.ndarray:
@@ -224,6 +228,15 @@ def log_evidence(key: jax.Array,
 
     lls = lls.reshape(n_keep, K, C)                               # (S, K, C)
     accs = jnp.mean(accs, axis=0)                                 # (K,)
+    # Exploded ODE solves at hot rungs return -inf/nan logliks; raw -inf
+    # poisons every logsumexp downstream (0 * -inf in the bridge, -inf
+    # pooled A_k -> nan jackknife).  Floor them 1e4 nats below the best
+    # finite draw — exactly zero bridge weight at float precision — and
+    # report the count so consumers can judge the rung health.
+    finite = jnp.isfinite(lls)
+    num_nonfinite = jnp.sum(~finite)
+    ll_best = jnp.max(jnp.where(finite, lls, -jnp.inf))
+    lls = jnp.where(finite, lls, ll_best - 1e4)
     mean_ll = jnp.mean(lls, axis=(0, 2))                          # (K,)
 
     db = betas[1:] - betas[:-1]                                   # (K-1,)
@@ -262,4 +275,5 @@ def log_evidence(key: jax.Array,
                           betas=betas, mean_log_lik=mean_ll,
                           accept_rate=accs, log_lik_draws=lls,
                           ti_se=ti_se, ss_se=ss_se,
-                          step_sizes=steps_used)
+                          step_sizes=steps_used,
+                          num_nonfinite=num_nonfinite)
