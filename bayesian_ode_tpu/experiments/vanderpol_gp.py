@@ -34,6 +34,21 @@ def _out_dir(output: str, config: Dict) -> str:
     return d
 
 
+def _make_solve(config: Dict):
+    """(solve, adaptive): the config-driven solver dispatch shared by
+    build_model, run_evidence, and the SMC sampler branch.  Adaptive
+    solvers honor config rtol/atol (defaults 1e-7/1e-9)."""
+    solver = config.get("solver", "rk4")
+    adaptive = solver in ("dopri5", "tsit5", "adams")
+    if adaptive:
+        solve = lambda f, x0, t: odeint_adjoint(
+            f, x0, t, method=solver, rtol=config.get("rtol", 1e-7),
+            atol=config.get("atol", 1e-9))
+    else:
+        solve = lambda f, x0, t: odeint_adjoint(f, x0, t, method=solver)
+    return solve, adaptive
+
+
 def build_model(config: Dict, data: Dict):
     """Grid + static kernel quantities + gradient-matched init + potential
     (gp.py:305-353).
@@ -51,15 +66,7 @@ def build_model(config: Dict, data: Dict):
     model = config.get("model", "gp")
     if model not in ("gp", "nn"):
         raise ValueError(f"unknown model {model!r}; expected 'gp' or 'nn'")
-    solver = config.get("solver", "rk4")
-    adaptive = solver in ("dopri5", "tsit5", "adams")
-    if adaptive:
-        rtol = config.get("rtol", 1e-7)
-        atol = config.get("atol", 1e-9)
-        solve = lambda f, x0, t: odeint_adjoint(f, x0, t, method=solver,
-                                                rtol=rtol, atol=atol)
-    else:
-        solve = lambda f, x0, t: odeint_adjoint(f, x0, t, method=solver)
+    solve, adaptive = _make_solve(config)
     if model == "nn":
         from ..models import mlp
 
@@ -435,13 +442,7 @@ def run_sampler(config: Dict, data: Dict, output: str,
                              "(the MLP field has no normalized "
                              "log-density split)")
         noise0 = float(config.get("noise", data["noise"]))
-        solver = config.get("solver", "rk4")
-        if solver in ("dopri5", "tsit5", "adams"):
-            solve = lambda f, x0, t: odeint_adjoint(
-                f, x0, t, method=solver, rtol=config.get("rtol", 1e-7),
-                atol=config.get("atol", 1e-9))
-        else:
-            solve = lambda f, x0, t: odeint_adjoint(f, x0, t, method=solver)
+        solve, _ = _make_solve(config)
         parts = kr.make_log_density_parts(
             static, data["x0"], data["t"], data["Y"], solve,
             precision=jax.lax.Precision.HIGHEST,
@@ -858,14 +859,7 @@ def run_evidence(config: Dict, data: Dict, output: str,
     with open(os.path.join(out_dir, "config.json"), "w") as f:
         json.dump(config, f, indent=2, default=str)
 
-    solver = config.get("solver", "rk4")
-    adaptive = solver in ("dopri5", "tsit5", "adams")
-    if adaptive:
-        solve = lambda f, x0, t: odeint_adjoint(
-            f, x0, t, method=solver, rtol=config.get("rtol", 1e-7),
-            atol=config.get("atol", 1e-9))
-    else:
-        solve = lambda f, x0, t: odeint_adjoint(f, x0, t, method=solver)
+    solve, _ = _make_solve(config)
     # evidence estimation consumes ABSOLUTE log-densities (log Z, Hessian
     # log-dets, pointwise log-liks) — TPU's default bf16 matmul passes
     # put O(10)-nat noise on a ~1000-nat GP-ODE potential and make the

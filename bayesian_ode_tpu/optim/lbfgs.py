@@ -105,7 +105,9 @@ def curvature_update(state: LBFGSState, flat_grad: jax.Array,
     return state._replace(
         s_buf=s_buf, y_buf=y_buf, valid=valid, h_diag=h_diag,
         curv_skips=state.curv_skips + (can_update & ~accept),
-        fail_skips=state.fail_skips + (state.n_iter > 0) & state.fail,
+        # parens are load-bearing: `+` binds tighter than `&`, so the
+        # unparenthesized form collapses the counter to 0/1
+        fail_skips=state.fail_skips + ((state.n_iter > 0) & state.fail),
     )
 
 

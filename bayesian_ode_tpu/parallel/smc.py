@@ -53,7 +53,8 @@ def smc_sharded(key: jax.Array,
     n = jax.tree.leaves(prior_particles)[0].shape[0]
     if n % n_dev:
         raise ValueError(
-            f"particle count {n} must divide the mesh axis size {n_dev}")
+            f"particle count {n} must be divisible by the mesh axis "
+            f"size {n_dev}")
 
     part_spec = jax.tree.map(lambda _: P(axis), prior_particles)
 

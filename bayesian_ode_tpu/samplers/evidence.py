@@ -241,6 +241,11 @@ def log_evidence(key: jax.Array,
 
     db = betas[1:] - betas[:-1]                                   # (K-1,)
     log_z_ti = jnp.sum(db * 0.5 * (mean_ll[:-1] + mean_ll[1:]))
+    # the floor is exactly zero weight in the SS logsumexps but enters
+    # TI's arithmetic rung means at full weight — a floored TI estimate
+    # would be a silently floor-dependent number, so report NaN instead
+    log_z_ti = jnp.where(num_nonfinite > 0,
+                         jnp.asarray(jnp.nan, log_z_ti.dtype), log_z_ti)
 
     # stepping stone: rung k's draws bridge beta_k -> beta_{k+1}
     bridge = db[None, :, None] * lls[:, :-1, :]                   # (S,K-1,C)
@@ -265,7 +270,11 @@ def log_evidence(key: jax.Array,
     L_kc = jax.scipy.special.logsumexp(bridge, axis=0)            # (K-1, C)
     A_k = jax.scipy.special.logsumexp(L_kc, axis=1, keepdims=True)
     frac = jnp.exp(jnp.minimum(L_kc - A_k, 0.0))
-    without_c = A_k + jnp.log1p(-jnp.minimum(frac, 1.0 - 1e-12))  # (K-1, C)
+    # dtype-aware clamp: 1 - 1e-12 rounds to 1.0 in f32 (the TPU ladder
+    # dtype), and log1p(-1) = -inf turned the jackknife SE into NaN
+    # whenever one chain dominated a rung's bridge weight
+    top = 1.0 - 16.0 * jnp.finfo(frac.dtype).eps
+    without_c = A_k + jnp.log1p(-jnp.minimum(frac, top))          # (K-1, C)
     ss_jack = jnp.sum(without_c - jnp.log(float(n_keep * (C - 1))),
                       axis=0)                                     # (C,)
     ss_se = jnp.sqrt(float(C - 1) / C

@@ -287,12 +287,14 @@ def smc(key: jax.Array,
         # its own slice of the index vector
         idx_all = _resample_indices(k_res, lw_all)
         pos_all = gather_tree(c.position)
-        idx_loc = jax.lax.dynamic_slice(idx_all, (offset,), (n,))
-        position = jax.tree.map(lambda l: jnp.take(l, idx_loc, axis=0),
-                                pos_all)
-        # step scale from the GLOBAL resampled population's pooled variance
+        # one gather builds the resampled GLOBAL population; the local
+        # shard is its rows [offset, offset + n)
         pos_res_all = jax.tree.map(lambda l: jnp.take(l, idx_all, axis=0),
                                    pos_all)
+        position = jax.tree.map(
+            lambda l: jax.lax.dynamic_slice_in_dim(l, offset, n, axis=0),
+            pos_res_all)
+        # step scale from the GLOBAL resampled population's pooled variance
         lr = jnp.exp(c.log_step) * _pooled_variance(pos_res_all)
         position, ll, acc = mala_sweep(k_mov, beta_new, lr, position)
         log_step = c.log_step + adapt_rate * (acc - target_accept)

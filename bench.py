@@ -377,10 +377,11 @@ def exact_sampler_effective_samples(data, static, params0, kr, n_chains,
     # (observed 2026-08-20).  Run in bounded segments with a host sync
     # between; the kernel's internal step counter carries the warmup
     # schedule across segments.
-    # segment budget ~6,400 worst-case leapfrogs per dispatch (~15-30s
-    # of device time at 2,048 chains)
+    # segment budget ~13M worst-case leapfrog-chains per dispatch
+    # (~15-30s of device time at the measured ~1.9M fused
+    # leapfrog-chains/s) regardless of the chain count
     per_draw = 2 ** max_depth if which == "nuts" else num_leapfrog
-    seg = max(1, min(6400 // per_draw, 100, num_samples))
+    seg = max(1, min(13_000_000 // (per_draw * C), 100, num_samples))
     run_seg = jax.jit(lambda s, k: samplers.sample_chain(
         kernel, s, k, num_samples=seg, burn_in=0))
 
@@ -1042,7 +1043,8 @@ def main():
 
     # VERDICT r3 #2: exact samplers on the chip — zero-bias ess/s over
     # the fused batch potential, MH-corrected (no bias validation needed
-    # at all), at the dense-sampler chain count (2048).
+    # at all), at the headline chain count (segment sizing inside the
+    # phase keeps per-dispatch device time watchdog-safe at any C).
     exact = {}
     for which in ("nuts", "hmc"):
         if which not in phases or args.quick:

@@ -136,3 +136,73 @@ def test_jackknife_ses_cover_truth():
         se = float(res.ss_se)
         assert se > 0.0
         assert abs(float(res.log_z_ss) - log_z) < max(0.35, 4 * se)
+
+
+def test_log_evidence_nonfinite_loglik_floor():
+    """Non-finite loglik draws are floored to zero bridge weight:
+    estimates stay finite, the count is reported, and TI — whose
+    arithmetic rung means WOULD silently absorb the floor — is NaN'd
+    instead.  MALA itself cannot ACCEPT a move into a -inf region (the
+    MH ratio is non-finite), so the realistic producer of -inf retained
+    draws is a chain that STARTS there and freezes (every proposal's
+    log_alpha is NaN -> rejected) — e.g. an exploding initialization on
+    ODE posteriors."""
+    log_lik, log_prior, log_z, _ = _gaussian_model(seed=3)
+
+    def log_lik_holed(p):
+        ll = log_lik(p)
+        far = jnp.sum(p["x"] ** 2, axis=-1) > 25.0
+        return jnp.where(far, -jnp.inf, ll)
+
+    C = 64
+    x0 = 0.1 * jax.random.normal(jax.random.key(5), (C, 2))
+    # freeze 8 of 64 chains inside the -inf region
+    x0 = x0.at[:8].set(jnp.asarray([6.0, 6.0]))
+    res = samplers.log_evidence(jax.random.key(6), log_lik_holed,
+                                log_prior, {"x": x0}, num_rungs=8,
+                                step_size=5e-2, num_warmup=200,
+                                num_samples=200, adapt_step=True)
+    # 8 frozen chains x 8 rungs x 200 kept draws
+    assert int(res.num_nonfinite) == 8 * 8 * 200
+    assert np.isfinite(float(res.log_z_ss))
+    assert np.isfinite(float(res.ss_se))
+    assert np.isnan(float(res.log_z_ti))         # floored TI is flagged
+    # the healthy 56 chains keep the estimate in the truth's
+    # neighborhood (an eighth of the population contributing zero
+    # weight biases SS low — the point is finite and same-scale, not
+    # unbiased: measured -54 vs truth -22)
+    assert log_z - 60.0 < float(res.log_z_ss) < log_z + 5.0
+
+    # clean target: no draws floored, TI intact
+    res2 = samplers.log_evidence(jax.random.key(6), log_lik, log_prior,
+                                 {"x": x0}, num_rungs=8, step_size=5e-2,
+                                 num_warmup=200, num_samples=200,
+                                 adapt_step=True)
+    assert int(res2.num_nonfinite) == 0
+    assert np.isfinite(float(res2.log_z_ti))
+
+
+def test_ss_jackknife_se_finite_under_chain_dominance():
+    """Regression (2026-08-21): in f32 the jackknife clamp 1 - 1e-12
+    rounds to 1.0 and log1p(-1) = -inf made ss_se NaN whenever one chain
+    dominated a rung's pooled bridge weight — exactly the GP-ODE hot-rung
+    regime.  Construct dominance directly: one chain's loglik towers
+    over the rest, all in f32."""
+    C = 16
+
+    def log_lik_batch(p):
+        x = p["x"]                                  # (R, 1) rows
+        # chain row 0 of every rung dominates by ~1e4 nats
+        return jnp.where(x[:, 0] > 0.0, -10.0, -1e4).astype(jnp.float32)
+
+    def log_prior_batch(p):
+        return jnp.zeros(p["x"].shape[0], jnp.float32)
+
+    x0 = -jnp.ones((C, 1), jnp.float32)
+    x0 = x0.at[0].set(1.0)
+    res = samplers.log_evidence(jax.random.key(1), log_lik_batch,
+                                log_prior_batch, {"x": x0}, num_rungs=6,
+                                step_size=1e-10, num_warmup=5,
+                                num_samples=20)
+    assert np.isfinite(float(res.log_z_ss))
+    assert np.isfinite(float(res.ss_se)), float(res.ss_se)

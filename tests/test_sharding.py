@@ -492,6 +492,6 @@ def test_smc_sharded_validates_particle_count():
 
     mesh = make_mesh(8, axis="particle")
     prior = {"x": jnp.zeros((12, 2))}     # 12 % 8 != 0
-    with pytest.raises(ValueError, match="divide"):
+    with pytest.raises(ValueError, match="divisible"):
         smc_sharded(jax.random.PRNGKey(0), jax.vmap(lambda p: 0.0),
                     jax.vmap(lambda p: 0.0), prior, mesh)
