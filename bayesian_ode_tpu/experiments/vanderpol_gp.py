@@ -918,6 +918,21 @@ def run_evidence(config: Dict, data: Dict, output: str,
     smc_se = (float(np.std(smc_logz, ddof=1) / np.sqrt(n_repeats))
               if n_repeats > 1 else float("nan"))
 
+    # --- generalized stepping stone (Fan et al. 2011): bridge from a
+    # Gaussian reference FITTED TO THE SMC PARTICLES instead of the
+    # prior — every rung then lives in the data-fit regime, avoiding the
+    # prior-bridged ladder's hot-rung equilibration bias (its estimate
+    # moved +292 nats from a quick to a full budget on this posterior,
+    # 2026-08-21), and the reference is normalized so log Z is absolute
+    gss = jax.block_until_ready(samplers.log_evidence_gss(
+        jax.random.fold_in(k_ladder, 99), log_lik_b, log_prior_b,
+        smc_res.particles, num_chains=C,
+        num_rungs=config.get("num_rungs", 16),
+        step_size=config.get("lr", 1e-3),
+        num_warmup=config.get("burn_in", 500),
+        num_samples=config.get("num_samples", 1000),
+        thin=config.get("thinning", 1), adapt_step=True))
+
     # --- Laplace (deterministic cross-check) — on CPU in float64: the
     # Hessian log-det consumes eigenvalues far below f32 resolution of a
     # ~1000-nat GP-ODE potential (the chip reads the true mode's Hessian
@@ -960,6 +975,7 @@ def run_evidence(config: Dict, data: Dict, output: str,
         "event": "summary", "method": config["method"], "M": config["M"],
         "log_z_ti": float(res.log_z_ti), "ti_se": float(res.ti_se),
         "log_z_ss": float(res.log_z_ss), "ss_se": float(res.ss_se),
+        "log_z_gss": float(gss.log_z_ss), "gss_se": float(gss.ss_se),
         "log_z_smc": smc_mean, "smc_se": smc_se,
         "log_z_laplace": float(lap.log_evidence),
         "laplace_hessian_pd": bool(lap.hessian_pd),
@@ -973,6 +989,8 @@ def run_evidence(config: Dict, data: Dict, output: str,
         "smc_log_z_repeats": smc_logz,
         "smc_num_stages": int(smc_res.num_stages),
         "ladder_nonfinite_draws": int(res.num_nonfinite),
+        "gss_nonfinite_draws": int(gss.num_nonfinite),
+        "gss_accept": np.asarray(gss.accept_rate).tolist(),
         "ladder_betas": np.asarray(res.betas).tolist(),
         "ladder_accept": np.asarray(res.accept_rate).tolist(),
         "ladder_steps": np.asarray(res.step_sizes).tolist(),

@@ -62,7 +62,9 @@ from .ensemble import (  # noqa: F401
 )
 from .evidence import (  # noqa: F401
     EvidenceResult,
+    fit_gaussian_reference,
     log_evidence,
+    log_evidence_gss,
     power_ladder,
 )
 from .smc import (  # noqa: F401
@@ -150,7 +152,9 @@ __all__ = [
     "identity_metric",
     "init_chains",
     "kernel_stein_discrepancy",
+    "fit_gaussian_reference",
     "log_evidence",
+    "log_evidence_gss",
     "mala",
     "mala_batched",
     "mmala",

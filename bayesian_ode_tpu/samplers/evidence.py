@@ -64,7 +64,8 @@ from ..utils.pytree import PyTree, tree_random_normal
 from .base import batch_value_and_grad
 from .langevin import _tree_sum_squares_per_chain, _tree_where_per_chain
 
-__all__ = ["EvidenceResult", "log_evidence", "power_ladder"]
+__all__ = ["EvidenceResult", "fit_gaussian_reference",
+           "log_evidence", "log_evidence_gss", "power_ladder"]
 
 
 def power_ladder(num_rungs: int, power: float = 5.0) -> jax.Array:
@@ -286,3 +287,82 @@ def log_evidence(key: jax.Array,
                           ti_se=ti_se, ss_se=ss_se,
                           step_sizes=steps_used,
                           num_nonfinite=num_nonfinite)
+
+
+def fit_gaussian_reference(draws: PyTree, *, min_std: float = 1e-6):
+    """Fit a diagonal-Gaussian reference distribution to posterior draws
+    (leaves with a leading draw axis) for `log_evidence_gss`.
+
+    Returns (log_ref_batch, sample_fn): `log_ref_batch` maps a batch
+    pytree (leading axis R) to NORMALIZED (R,) log densities;
+    `sample_fn(key, n)` draws n iid reference samples.  Per-coordinate
+    std is floored at `min_std` (collapsed coordinates would otherwise
+    make the reference density improper).
+    """
+    leaves, treedef = jax.tree.flatten(draws)
+    mus = [jnp.mean(l, axis=0) for l in leaves]
+    sds = [jnp.maximum(jnp.std(l, axis=0), min_std) for l in leaves]
+    dims = sum(int(np.prod(l.shape[1:])) for l in leaves)
+    log_norm = -0.5 * dims * np.log(2.0 * np.pi) \
+        - sum(float(jnp.sum(jnp.log(s))) for s in sds)
+
+    def log_ref_batch(position: PyTree) -> jax.Array:
+        ls = jax.tree.leaves(position)
+        quad = sum(
+            jnp.sum(((l - m[None]) / s[None]) ** 2,
+                    axis=tuple(range(1, l.ndim)))
+            for l, m, s in zip(ls, mus, sds))
+        return -0.5 * quad + log_norm
+
+    def sample_fn(key: jax.Array, n: int) -> PyTree:
+        ks = jax.random.split(key, len(leaves))
+        out = [m[None] + s[None] * jax.random.normal(
+            k, (n,) + l.shape[1:], l.dtype)
+            for k, l, m, s in zip(ks, leaves, mus, sds)]
+        return jax.tree.unflatten(treedef, out)
+
+    return log_ref_batch, sample_fn
+
+
+def log_evidence_gss(key: jax.Array,
+                     log_lik_batch: Callable[[PyTree], jax.Array],
+                     log_prior_batch: Callable[[PyTree], jax.Array],
+                     reference_draws: PyTree,
+                     *,
+                     num_chains: Optional[int] = None,
+                     min_std: float = 1e-6,
+                     **ladder_kwargs) -> EvidenceResult:
+    """GENERALIZED stepping stone (Fan et al. 2011, Mol. Biol. Evol.
+    28(1)): estimate log Z by bridging from a NORMALIZED posterior-fitted
+    reference g(x) instead of the prior,
+
+        q_beta(x)  propto  g(x)^(1-beta) * [p0(x) exp(loglik(x))]^beta,
+
+    which is exactly the `log_evidence` power path with the substitution
+    lik' = loglik + log p0 - log g, prior' = log g — so the whole ladder
+    (per-rung MALA, warmup adaptation, SS/TI + jackknife SEs) is reused
+    verbatim and `log_z_ss` is an absolute log Z (g is normalized).
+
+    WHY on ODE posteriors (measured 2026-08-21, GP-VDP, this repo):
+    plain prior-bridged SS must equilibrate hot rungs in the PRIOR
+    regime, where prior-scale fields explode trajectories — its estimate
+    moved +292 nats from a quick to a full budget and still sat ~100
+    nats from SMC.  With g fitted to SMC particles every rung lives in
+    the data-fit regime: the bridge integrand log(lik*prior/g) has
+    posterior-scale variance, rungs equilibrate immediately, and the SE
+    is honest.
+
+    `reference_draws`: posterior-typical draws (e.g. `smc(...)` final
+    particles) used BOTH to fit g (`fit_gaussian_reference`) and to
+    initialize the rung chains (first `num_chains` draws; default all).
+    """
+    log_ref, _ = fit_gaussian_reference(reference_draws, min_std=min_std)
+
+    def lik_bridge(position):
+        return (log_lik_batch(position) + log_prior_batch(position)
+                - log_ref(position))
+
+    init = reference_draws
+    if num_chains is not None:
+        init = jax.tree.map(lambda l: l[:num_chains], reference_draws)
+    return log_evidence(key, lik_bridge, log_ref, init, **ladder_kwargs)

@@ -67,15 +67,15 @@ def main():
         print(f"# M={M} done: ss {out['log_z_ss']:.2f} "
               f"smc {out['log_z_smc']:.2f}", file=sys.stderr)
 
-    hdr = (f"{'M':>3} {'logZ_SS':>10} {'SE':>6} {'logZ_SMC':>10} {'SE':>6} "
-           f"{'logZ_TI':>10} {'logZ_Lap':>10} {'WAIC':>9} {'LOO':>9} "
+    hdr = (f"{'M':>3} {'logZ_GSS':>10} {'SE':>6} {'logZ_SMC':>10} {'SE':>6} "
+           f"{'logZ_SS':>10} {'logZ_Lap':>10} {'WAIC':>9} {'LOO':>9} "
            f"{'khat':>6}")
     print(hdr)
     print("-" * len(hdr))
     for M, o in rows:
-        print(f"{M:>3} {o['log_z_ss']:>10.2f} {o['ss_se']:>6.2f} "
+        print(f"{M:>3} {o['log_z_gss']:>10.2f} {o['gss_se']:>6.2f} "
               f"{o['log_z_smc']:>10.2f} {o['smc_se']:>6.2f} "
-              f"{o['log_z_ti']:>10.2f} {o['log_z_laplace']:>10.2f} "
+              f"{o['log_z_ss']:>10.2f} {o['log_z_laplace']:>10.2f} "
               f"{o['waic_elpd']:>9.2f} {o['loo_elpd']:>9.2f} "
               f"{o['loo_max_khat']:>6.2f}")
     # SMC is the primary selector on ODE posteriors: its annealed

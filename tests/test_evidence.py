@@ -206,3 +206,57 @@ def test_ss_jackknife_se_finite_under_chain_dominance():
                                 num_samples=20)
     assert np.isfinite(float(res.log_z_ss))
     assert np.isfinite(float(res.ss_se)), float(res.ss_se)
+
+
+def test_gss_matches_closed_form_with_tight_se():
+    """Generalized stepping stone (posterior-fitted Gaussian reference):
+    on the conjugate-Gaussian target it must reproduce the closed-form
+    log Z with a much tighter jackknife SE than the prior-bridged ladder
+    at the SAME budget — the whole point of bridging from the posterior
+    side."""
+    log_lik, log_prior, log_z, (d, n, s0, s) = _gaussian_model(seed=2)
+
+    # posterior-typical draws (the conjugate posterior is known)
+    rng = np.random.default_rng(2)
+    x_true = rng.normal(0.0, s0, d)
+    y = x_true + rng.normal(0.0, s, (n, d))
+    A = n / s**2 + 1.0 / s0**2
+    mean = (np.sum(y, axis=0) / s**2) / A
+    C = 64
+    draws = {"x": jnp.asarray(
+        mean[None] + rng.normal(0.0, 1.0 / np.sqrt(A), (C, d)))}
+
+    kw = dict(num_rungs=8, step_size=1e-2, num_warmup=200,
+              num_samples=400, adapt_step=True)
+    gss = samplers.log_evidence_gss(jax.random.key(7), log_lik, log_prior,
+                                    draws, **kw)
+    assert abs(float(gss.log_z_ss) - log_z) < 0.05, (
+        float(gss.log_z_ss), log_z)
+    assert float(gss.ss_se) < 0.05
+
+    # same budget, prior-bridged: looser (the classic SS variance)
+    plain = samplers.log_evidence(jax.random.key(7), log_lik, log_prior,
+                                  {"x": jnp.zeros((C, d))}, **kw)
+    assert float(gss.ss_se) < float(plain.ss_se)
+    assert abs(float(gss.log_z_ss) - log_z) <= \
+        abs(float(plain.log_z_ss) - log_z) + 0.05
+
+
+def test_fit_gaussian_reference_normalized():
+    # the fitted reference must be a NORMALIZED density: its own draws'
+    # average exp(log q) over a huge sample integrates to 1 via
+    # importance sampling against itself (trivially), so check the
+    # closed-form: E_q[-log q] equals the fitted Gaussian entropy
+    rng = np.random.default_rng(0)
+    draws = {"a": jnp.asarray(rng.normal(1.0, 2.0, (4000, 3))),
+             "b": jnp.asarray(rng.normal(-2.0, 0.5, (4000, 2, 2)))}
+    log_ref, sample = samplers.fit_gaussian_reference(draws)
+    xs = sample(jax.random.key(1), 20000)
+    ent_mc = -float(jnp.mean(log_ref(xs)))
+    sds = np.concatenate([np.std(np.asarray(draws["a"]), 0).ravel(),
+                          np.std(np.asarray(draws["b"]), 0).ravel()])
+    ent_true = 0.5 * len(sds) * np.log(2 * np.pi * np.e) \
+        + np.sum(np.log(sds))
+    assert abs(ent_mc - ent_true) < 0.05
+    # and sampling matches the fitted moments
+    assert np.allclose(np.asarray(jnp.mean(xs["a"], 0)), 1.0, atol=0.1)

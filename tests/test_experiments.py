@@ -501,6 +501,11 @@ def test_run_evidence_estimators_agree(tmp_path, tiny_data):
     out = worker(cfg, tiny_data, str(tmp_path), make_plots=False)
 
     ss, ss_se = out["log_z_ss"], out["ss_se"]
+    # GSS (posterior-fitted reference bridge) is the tight ladder
+    # estimator; it must agree with SMC within error bars
+    gss, gss_se = out["log_z_gss"], out["gss_se"]
+    assert abs(gss - out["log_z_smc"]) < \
+        3.0 * np.hypot(gss_se, out["smc_se"]) + 0.75, out
     smc, smc_se = out["log_z_smc"], out["smc_se"]
     lap = out["log_z_laplace"]
     # independent machinery, same integral: stepping stone vs SMC
