@@ -30,15 +30,43 @@ import time
 # a fresh process.
 if __name__ == "__main__" and os.environ.get("BENCH_INNER") != "1" \
         and "--_baseline-worker" not in sys.argv:
+    import signal
     import subprocess
 
-    rc = 1
+    # Wall-clock anchor shared by every attempt: the inner process budgets
+    # its phases against BENCH_T0 + --budget, so a retry after a tunnel
+    # fault cannot blow past the driver's round timeout (r4 lesson:
+    # BENCH_r04.json recorded rc=124/parsed=null because the one-shot run
+    # outgrew the budget).
+    os.environ.setdefault("BENCH_T0", repr(time.time()))
+    _t0 = float(os.environ["BENCH_T0"])
+    rc, _signaled = 1, False
     for _attempt in range(3):
-        child = subprocess.run(
+        child = subprocess.Popen(
             [sys.executable] + sys.argv, env=dict(os.environ, BENCH_INNER="1")
         )
-        rc = child.returncode
-        if rc == 0:
+
+        def _fwd(signum, frame):
+            # `timeout` signals only this supervisor; forward to the
+            # chip-holding child so it can print its cumulative summary
+            # line and exit (an orphaned inner process would wedge the
+            # chip for the driver's next step).
+            global _signaled
+            _signaled = True
+            child.terminate()
+
+        signal.signal(signal.SIGTERM, _fwd)
+        signal.signal(signal.SIGINT, _fwd)
+        try:
+            rc = child.wait(timeout=3600)
+        except subprocess.TimeoutExpired:
+            child.kill()
+            rc = child.wait()
+        if rc == 0 or _signaled:
+            break
+        if time.time() - _t0 > 1050:  # no budget left for a useful retry
+            print(f"# bench attempt {_attempt + 1} failed (rc={rc}); "
+                  "budget exhausted, not retrying", file=sys.stderr)
             break
         print(f"# bench attempt {_attempt + 1} failed (rc={rc}); "
               "retrying in 120s", file=sys.stderr)
@@ -379,9 +407,15 @@ def exact_sampler_effective_samples(data, static, params0, kr, n_chains,
     # schedule across segments.
     # segment budget ~13M worst-case leapfrog-chains per dispatch
     # (~15-30s of device time at the measured ~1.9M fused
-    # leapfrog-chains/s) regardless of the chain count
+    # leapfrog-chains/s) regardless of the chain count.  seg must DIVIDE
+    # both draw totals (ADVICE r4): a remainder chunk would execute a
+    # full segment but keep only part of it, so the timed window would
+    # include discarded draws and deflate ess/s and leapfrogs/s.
     per_draw = 2 ** max_depth if which == "nuts" else num_leapfrog
-    seg = max(1, min(13_000_000 // (per_draw * C), 100, num_samples))
+    cap = max(1, min(13_000_000 // (per_draw * C), 100, num_samples))
+    import math
+    g = math.gcd(num_samples, burn_in) if burn_in else num_samples
+    seg = max(d for d in range(1, cap + 1) if g % d == 0)
     run_seg = jax.jit(lambda s, k: samplers.sample_chain(
         kernel, s, k, num_samples=seg, burn_in=0))
 
@@ -414,11 +448,27 @@ def exact_sampler_effective_samples(data, static, params0, kr, n_chains,
     else:
         mean_leap = float(num_leapfrog)
         total_leap = float(num_leapfrog) * C * num_samples
-    acc = float(jnp.mean(infos["accepted"].astype(jnp.float32)))
+    # Accept statistic (VERDICT r4 #4, closed 2026-08-21): NUTS's
+    # info["accepted"] is the multinomial `moved` flag, which is ~always
+    # True (the r4 bench printed it as "acc 1.00" — a statistic that
+    # cannot deviate).  The dual-averaging adaptation statistic is
+    # info["accept_prob"] (trajectory-mean Metropolis weight, the quantity
+    # driven to target_accept=0.8); report that when present.  HMC's
+    # "accepted" IS the MH flag and stays.
+    if "accept_prob" in infos:
+        acc = float(jnp.mean(infos["accept_prob"].astype(jnp.float32)))
+    else:
+        acc = float(jnp.mean(infos["accepted"].astype(jnp.float32)))
     moments = {
         "logsn_mean": [float(jnp.mean(kept[:, :, d])) for d in (0, 1)],
         "logsn_std": [float(jnp.std(kept[:, :, d])) for d in (0, 1)],
+        # frozen post-warmup step size (mean over chains): lets the
+        # record show where dual averaging actually landed
+        "step_size": float(jnp.mean(infos["step_size"])),
     }
+    if "accepted" in infos and which == "nuts":
+        moments["moved_frac"] = float(
+            jnp.mean(infos["accepted"].astype(jnp.float32)))
     return ((ess0 + ess1) / 2.0 / dt, total_leap / dt, dt, C, mean_leap,
             acc, moments)
 
@@ -460,11 +510,15 @@ def cnf_training_throughput(n_iters=60, n_data=4096, hidden=(64, 64),
     def run(p):
         return jax.lax.scan(one, (p, tx.init(p)), None, length=n_iters)
 
-    (p1, _), losses = jax.block_until_ready(run(params))
-    t0 = time.perf_counter()
+    # best-of-3 with reported spread (VERDICT r4 #3): the one-shot 60-iter
+    # window read 344.1 iters/s driver-side vs 485.6 in the README for the
+    # identical config — a 29% axon-day-drift band the solver phases'
+    # sustained protocol already controls for.  Same remedy here.
+    _, losses = jax.block_until_ready(run(params))     # compile + warm
+    dt = _sustained(lambda: run(params), jax.block_until_ready, depth=1)
     _, losses = jax.block_until_ready(run(params))
-    dt = time.perf_counter() - t0
-    return n_iters / dt, float(losses[0]), float(losses[-1])
+    return (n_iters / dt, float(losses[0]), float(losses[-1]),
+            _LAST_SPREAD["rel"])
 
 
 def latent_sde_training_throughput(n_iters=40, B=32, T=50, latent_dim=4):
@@ -502,11 +556,13 @@ def latent_sde_training_throughput(n_iters=40, B=32, T=50, latent_dim=4):
         return jax.lax.scan(one, (p, tx.init(p)), keys)
 
     keys = jax.random.split(jax.random.PRNGKey(33), n_iters)
-    (p1, _), losses = jax.block_until_ready(run(params, keys))
-    t0 = time.perf_counter()
+    # best-of-3 + spread, same rationale as cnf_training_throughput
+    _, losses = jax.block_until_ready(run(params, keys))  # compile + warm
+    dt = _sustained(lambda: run(params, keys), jax.block_until_ready,
+                    depth=1)
     _, losses = jax.block_until_ready(run(params, keys))
-    dt = time.perf_counter() - t0
-    return n_iters / dt, float(losses[0]), float(losses[-1])
+    return (n_iters / dt, float(losses[0]), float(losses[-1]),
+            _LAST_SPREAD["rel"])
 
 
 def fused_sgld_dopri5_effective_samples(data, static, params0, kr, n_chains,
@@ -651,15 +707,20 @@ def svgd_throughput(data, static, params0, kr, particle_counts, n_steps):
         one = jax.jit(lambda s: kernel.step(jax.random.PRNGKey(1), s))
         _, info0 = one(state)
         state2, info = one(state1)
-        phi = svgd_phi_of(kernel, state1, pot)
+        # unflattener matching svgd_batched's own per-particle packing
+        # (ADVICE r4: positional column slicing silently coupled to the
+        # dict key order and would mis-slice if a param were added)
+        from jax.flatten_util import ravel_pytree
+        _, unravel = ravel_pytree(jax.tree.map(lambda x: x[0], pos0))
+        phi = svgd_phi_of(kernel, state1, pot, unravel)
         # Kernel Stein discrepancy (VERDICT r3 #4): the principled
         # convergence metric — distance of the ensemble to the TARGET
         # posterior, comparable across particle counts and rounds (the
         # raw phi_rms is bandwidth-coupled and rises with n).  IMQ KSD
         # is O(k^2 d); a strided k<=512 subsample keeps it cheap while
         # measuring the same per-particle sample quality.
-        ksd0 = float(_svgd_ksd(state, pot))
-        ksd1 = float(_svgd_ksd(state1, pot))
+        ksd0 = float(_svgd_ksd(state, pot, unravel))
+        ksd1 = float(_svgd_ksd(state1, pot, unravel))
         results.append({
             "particles": C,
             "particle_steps_per_sec": C * n_steps / dt,
@@ -672,9 +733,12 @@ def svgd_throughput(data, static, params0, kr, particle_counts, n_steps):
     return results
 
 
-def _svgd_ksd(state, pot, max_particles=512):
+def _svgd_ksd(state, pot, unravel, max_particles=512):
     """IMQ kernel Stein discrepancy of the (subsampled) SVGD ensemble
-    against the GP posterior (samplers.kernel_stein_discrepancy)."""
+    against the GP posterior (samplers.kernel_stein_discrepancy).
+    `unravel` is the ravel_pytree unflattener for one particle — the same
+    spec svgd_batched packs `state.particles` with, so the score is
+    layout-proof (ADVICE r4)."""
     from bayesian_ode_tpu import samplers
 
     x = state.particles                              # (n, P) flat
@@ -683,22 +747,20 @@ def _svgd_ksd(state, pot, max_particles=512):
         x = x[:: max(1, n // max_particles)][:max_particles]
 
     def pot_sum(flat):
-        U = flat[:, :-2].reshape(flat.shape[0], -1, 2)
-        return jnp.sum(pot({"U": U, "logsn": flat[:, -2:]}))
+        return jnp.sum(pot(jax.vmap(unravel)(flat)))
 
     score = lambda xs: -jax.grad(pot_sum)(xs)
     return jax.jit(lambda xs: samplers.kernel_stein_discrepancy(
         xs, score))(x)
 
 
-def svgd_phi_of(kernel, state, pot):
+def svgd_phi_of(kernel, state, pot, unravel):
     """Raw Liu-Wang phi at `state` (convergence proxy independent of the
     AdaGrad normalization)."""
     from bayesian_ode_tpu.samplers.stein import svgd_direction
 
     def pot_sum(flat):
-        U = flat[:, :-2].reshape(flat.shape[0], -1, 2)
-        return jnp.sum(pot({"U": U, "logsn": flat[:, -2:]}))
+        return jnp.sum(pot(jax.vmap(unravel)(flat)))
 
     scores = -jax.grad(pot_sum)(state.particles)
     return svgd_direction(state.particles, scores)
@@ -852,15 +914,21 @@ class _PhaseSkipped(Exception):
     """Raised to drop an optional phase deselected via --phases."""
 
 
+_DEADLINE = [None]  # set by main(); _retry refuses to sleep past it
+
+
 def _retry(fn, *args, attempts=3, wait=120, **kw):
     """The TPU tunnel in this environment occasionally reports transient
     'TPU worker process crashed' / device errors under load; wait and
-    retry before giving up."""
+    retry before giving up (unless the phase budget deadline would pass
+    first — then surface the failure so later phases still run)."""
     for i in range(attempts):
         try:
             return fn(*args, **kw)
         except Exception as e:
-            if i == attempts - 1:
+            dl = _DEADLINE[0]
+            if i == attempts - 1 or (
+                    dl is not None and time.time() + wait > dl):
                 raise
             print(f"# transient failure ({type(e).__name__}); retrying in "
                   f"{wait}s", file=sys.stderr)
@@ -868,6 +936,8 @@ def _retry(fn, *args, attempts=3, wait=120, **kw):
 
 
 def main():
+    import signal
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--chains", type=int, default=10000)
     ap.add_argument("--chains-max", type=int, default=163840,
@@ -884,6 +954,18 @@ def main():
     ap.add_argument("--sgld-grad", default="fused",
                     choices=["fused", "discrete", "adjoint"])
     ap.add_argument("--skip-baseline", action="store_true")
+    # VERDICT r4 #1: the r4 driver run was killed at its round timeout
+    # before the one end-of-run summary printed (BENCH_r04.json: rc=124,
+    # parsed=null).  Three fixes here: (a) the summary file + in-memory
+    # dict update after EVERY phase, (b) a SIGTERM handler prints the
+    # cumulative summary line if the driver's timeout fires anyway, and
+    # (c) this wall-clock budget skips optional phases that no longer
+    # fit, so the normal path finishes in time.  Phases run in priority
+    # order (headline and north-star first, slowest exact samplers last).
+    ap.add_argument("--budget", type=float, default=1350.0,
+                    help="wall-clock seconds from process start (BENCH_T0 "
+                         "across supervisor retries) after which remaining "
+                         "optional phases are skipped")
     # Subset the optional phases (the full run compiles ~9 fused kernels;
     # CI lanes can keep only what they track).  The generic + fused
     # forward phases always run: they produce the headline metric.
@@ -918,10 +1000,140 @@ def main():
         args.chains = min(args.chains, 512)
         args.samples, args.burn_in = 20, 20
 
+    t0_anchor = float(os.environ.get("BENCH_T0", time.time()))
+    deadline = t0_anchor + args.budget
+    _DEADLINE[0] = deadline
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+
+    summary = {
+        "metric": "dopri5_rhs_evals_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "RHS evals/s",
+        "vs_baseline": 1.0,
+        "chains": 0,
+        "mean_nfe_per_solve": 0.0,
+        "rtol": args.rtol,
+        "solves_per_sec": 0.0,
+        "generic_solves_per_sec": 0.0,
+        "fused_speedup": 0.0,
+        "sgld_steps_per_sec": 0.0,
+        "sgld_grad_engine": args.sgld_grad,
+        "effective_samples_per_sec": 0.0,
+        "psgld_steps_per_sec": 0.0,
+        "psgld_effective_samples_per_sec": 0.0,
+        "asghmc_steps_per_sec": 0.0,
+        "asghmc_effective_samples_per_sec": 0.0,
+        "peak_solves_per_sec": 0.0,
+        "peak_chains": 0,
+        "sgld_dopri5_steps_per_sec": 0.0,
+        "sgld_dopri5_effective_samples_per_sec": 0.0,
+        "psgld_dopri5_steps_per_sec": 0.0,
+        "psgld_dopri5_effective_samples_per_sec": 0.0,
+        "nn_dopri5_steps_per_sec": 0.0,
+        "nn_dopri5_chains": 0,
+        "svgd": [],
+        "nuts_effective_samples_per_sec": 0.0,
+        "nuts_leapfrogs_per_sec": 0.0,
+        "nuts_leapfrogs_per_draw": 0.0,
+        "nuts_accept": 0.0,
+        "nuts_step_size": 0.0,
+        "nuts_logsn_mean": [],
+        "nuts_logsn_std": [],
+        "hmc_effective_samples_per_sec": 0.0,
+        "hmc_leapfrogs_per_sec": 0.0,
+        "hmc_accept": 0.0,
+        "hmc_step_size": 0.0,
+        "hmc_logsn_mean": [],
+        "hmc_logsn_std": [],
+        "exact_sampler_chains": 0,
+        "cnf_train_iters_per_sec": 0.0,
+        "cnf_nll_drop": 0.0,
+        "cnf_spread_rel": 0.0,
+        "latent_sde_train_iters_per_sec": 0.0,
+        "latent_sde_elbo_drop": 0.0,
+        "latent_sde_spread_rel": 0.0,
+        "npsde_psgld_steps_per_sec": 0.0,
+        "npsde_psgld_effective_samples_per_sec": 0.0,
+        "npsde_chains": 0,
+        "hamcmc_steps_per_sec": 0.0,
+        "hamcmc_effective_samples_per_sec": 0.0,
+        "hamcmc_chains": 0,
+        "spiral_adjoint_iters_per_sec": 0.0,
+        "spiral_discrete_iters_per_sec": 0.0,
+        "headline_spread_rel": 0.0,
+        "phases_done": [],
+        "budget_s": args.budget,
+        "truncated": False,
+    }
+
+    def emit_file():
+        """Refresh bench_summary.json (the crash-proof artifact) and
+        return the summary as a json line.  stdout stays SINGLE-line: the
+        one print happens at the end of the run, or in the SIGTERM
+        handler — never both (the handler exits the process)."""
+        summary["elapsed_s"] = round(time.time() - t0_anchor, 1)
+        line = json.dumps(summary)
+        try:
+            with open(os.path.join(repo_dir, "bench_summary.json"),
+                      "w") as f:
+                f.write(line + "\n")
+        except OSError:
+            pass
+        return line
+
+    def done(name):
+        summary["phases_done"].append(name)
+        emit_file()
+
+    def _on_term(signum, frame):
+        if summary["value"]:
+            print(emit_file(), flush=True)
+        sys.stdout.flush()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _on_term)
+
+    def fits(est, label):
+        rem = deadline - time.time()
+        if est <= rem:
+            return True
+        print(f"# {label} skipped: ~{est:.0f}s estimate vs {rem:.0f}s left "
+              f"of --budget {args.budget:.0f}", file=sys.stderr)
+        summary["truncated"] = True
+        return False
+
     data, static, params0, kr = build_problem()
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
 
+    # CPU single-chain baseline (the reference's deployment unit): runs
+    # CONCURRENTLY in a stripped-env subprocess — it never touches the
+    # chip, so it overlaps the device phases for free and is collected at
+    # the end.  The axon sitecustomize is stripped from PYTHONPATH (it
+    # would hang claiming the chip this process holds).
+    baseline_proc = None
+    if not args.skip_baseline and "baseline" in phases:
+        import subprocess
+
+        try:
+            env = dict(os.environ)
+            env["PYTHONPATH"] = ":".join(
+                p for p in (env.get("PYTHONPATH", "").split(":")
+                            + [repo_dir])
+                if p and ".axon_site" not in p
+            )
+            env["JAX_PLATFORMS"] = "cpu"
+            env.pop("BENCH_INNER", None)
+            baseline_proc = subprocess.Popen(
+                [sys.executable, __file__, "--_baseline-worker",
+                 "--rtol", str(args.rtol), "--atol", str(args.atol)],
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                text=True, env=env,
+            )
+        except Exception as e:
+            print(f"# baseline launch failed: {e}", file=sys.stderr)
+
+    # ---- headline (always): generic + fused forward ----
     evals_per_sec, fwd_dt, mean_nfe, all_ok = _retry(
         dopri5_forward_throughput, data, static, params0, kr, args.chains,
         args.rtol, args.atol,
@@ -940,52 +1152,211 @@ def main():
         f"NFE {f_nfe:.0f}, reached={f_ok}, spread {f_spread:.1%}",
         file=sys.stderr,
     )
+    summary.update(
+        value=round(f_evals_per_sec, 1),
+        chains=f_chains,
+        mean_nfe_per_solve=round(f_nfe, 1),
+        solves_per_sec=round(f_chains / f_dt, 1),
+        generic_solves_per_sec=round(args.chains / fwd_dt, 1),
+        fused_speedup=round(f_evals_per_sec * args.chains
+                            / (evals_per_sec * f_chains), 2),
+        headline_spread_rel=round(f_spread, 4),
+    )
+    done("headline")
+
+    # ---- the literal north star: SGLD/pSGLD at dopri5 rtol=1e-7, fused
+    # fwd+bwd (second in priority after the headline) ----
+    if "sgld_dopri5" in phases and fits(70, "sgld_dopri5"):
+        try:
+            ((d5_eff, d5_sps, d5_dt, _),
+             (d5p_eff, d5p_sps, _, _)) = _retry(
+                fused_sgld_dopri5_effective_samples, data, static, params0,
+                kr, args.chains, args.samples, args.burn_in, args.rtol,
+                args.atol,
+            )
+            print(f"# sgld@dopri5 (fused): {d5_sps:.0f} steps/s, "
+                  f"{d5_eff:.0f} ess/s, {d5_dt:.2f}s", file=sys.stderr)
+            print(f"# psgld@dopri5 (fused): {d5p_sps:.0f} steps/s, "
+                  f"{d5p_eff:.0f} ess/s", file=sys.stderr)
+            summary.update(
+                sgld_dopri5_steps_per_sec=round(d5_sps, 1),
+                sgld_dopri5_effective_samples_per_sec=round(d5_eff, 2),
+                psgld_dopri5_steps_per_sec=round(d5p_sps, 1),
+                psgld_dopri5_effective_samples_per_sec=round(d5p_eff, 2),
+            )
+            done("sgld_dopri5")
+        except Exception as e:
+            print(f"# sgld@dopri5 phase skipped: {e}", file=sys.stderr)
 
     # peak throughput: the whole-solve kernel keeps scaling past the
     # north-star 10k shape (measured sustained 2.18M solves/s at 163,840
-    # chains, 0.46us per adaptive rtol=1e-7 solve, vs 1.34M at 10k)
-    peak_sps, peak_chains = 0.0, 0
-    if not args.quick and "peak" in phases:
+    # chains, 0.46us per adaptive rtol=1e-7 solve)
+    if not args.quick and "peak" in phases and fits(60, "peak"):
         try:
             pe, p_dt, _, p_ok, p_C, _ = _retry(
                 fused_dopri5_throughput, data, static, params0, kr,
                 args.chains_max, args.rtol, args.atol,
             )
             if p_ok:
-                peak_sps, peak_chains = p_C / p_dt, p_C
-                print(f"# peak fused throughput: {peak_sps:.0f} solves/s "
+                print(f"# peak fused throughput: {p_C / p_dt:.0f} solves/s "
                       f"at {p_C} chains", file=sys.stderr)
+                summary.update(peak_solves_per_sec=round(p_C / p_dt, 1),
+                               peak_chains=p_C)
+                done("peak")
         except Exception as e:
             print(f"# peak phase skipped: {e}", file=sys.stderr)
 
-    eff_sps, sgld_sps, sgld_dt = 0.0, 0.0, 0.0
-    if "sgld" in phases:
-        eff_sps, sgld_sps, sgld_dt = _retry(
-            sgld_effective_samples, data, static, params0, kr, args.chains,
-            args.samples, args.burn_in, grad_engine=args.sgld_grad,
-        )
-        print(f"# sgld: {sgld_sps:.0f} steps/s, {sgld_dt:.2f}s",
-              file=sys.stderr)
+    # ---- r3/r4 model families (small windows; sustained best-of-3) ----
+    if not args.quick and "cnf" in phases and fits(60, "cnf"):
+        try:
+            cnf_ips, cnf_l0, cnf_l1, cnf_spread = _retry(
+                cnf_training_throughput)
+            print(f"# cnf (ffjord, hutchinson, 4096x2 batch): "
+                  f"{cnf_ips:.1f} iters/s, nll {cnf_l0:.3f} -> "
+                  f"{cnf_l1:.3f}, spread {cnf_spread:.1%}", file=sys.stderr)
+            summary.update(cnf_train_iters_per_sec=round(cnf_ips, 2),
+                           cnf_nll_drop=round(cnf_l0 - cnf_l1, 3),
+                           cnf_spread_rel=round(cnf_spread, 4))
+            done("cnf")
+        except Exception as e:
+            print(f"# cnf phase skipped: {e}", file=sys.stderr)
 
-    # the literal north star: SGLD/pSGLD at dopri5 rtol=1e-7, fused fwd+bwd
-    d5_eff, d5_sps, d5_dt = 0.0, 0.0, 0.0
-    d5p_eff, d5p_sps = 0.0, 0.0
-    try:
-        if "sgld_dopri5" not in phases:
-            raise _PhaseSkipped("--phases")
-        (d5_eff, d5_sps, d5_dt, _), (d5p_eff, d5p_sps, _, _) = _retry(
-            fused_sgld_dopri5_effective_samples, data, static, params0, kr,
-            args.chains, args.samples, args.burn_in, args.rtol, args.atol,
-        )
-        print(f"# sgld@dopri5 (fused): {d5_sps:.0f} steps/s, "
-              f"{d5_eff:.0f} ess/s, {d5_dt:.2f}s", file=sys.stderr)
-        print(f"# psgld@dopri5 (fused): {d5p_sps:.0f} steps/s, "
-              f"{d5p_eff:.0f} ess/s", file=sys.stderr)
-    except Exception as e:
-        print(f"# sgld@dopri5 phase skipped: {e}", file=sys.stderr)
+    if not args.quick and "latent_sde" in phases and fits(60, "latent_sde"):
+        try:
+            ls_ips, ls_l0, ls_l1, ls_spread = _retry(
+                latent_sde_training_throughput)
+            print(f"# latent_sde (B=32, T=50, latent 4): {ls_ips:.1f} "
+                  f"iters/s, -elbo {ls_l0:.1f} -> {ls_l1:.1f}, "
+                  f"spread {ls_spread:.1%}", file=sys.stderr)
+            summary.update(latent_sde_train_iters_per_sec=round(ls_ips, 2),
+                           latent_sde_elbo_drop=round(ls_l0 - ls_l1, 3),
+                           latent_sde_spread_rel=round(ls_spread, 4))
+            done("latent_sde")
+        except Exception as e:
+            print(f"# latent_sde phase skipped: {e}", file=sys.stderr)
 
-    nn_d5_sps, nn_d5_C = 0.0, 0
-    if not args.quick and "nn_dopri5" in phases:
+    # ---- exact samplers (VERDICT r3 #2), at <= 2048 chains: r4 measured
+    # the 400-window pooled FFT-ESS is NOT chain-count-limited for these
+    # draws (311 ess/s at 2048 vs 287 at 10,112 — documented equivalence),
+    # while device time scales ~linearly with chains; 2048 keeps the two
+    # slowest phases ~5x cheaper and inside the driver budget. ----
+    x_chains = min(args.chains, 2048)
+    for which, est in (("hmc", 90), ("nuts", 200)):
+        if which not in phases or args.quick or not fits(est, which):
+            continue
+        try:
+            # max_depth=6: trees cap at ANY practical depth on the
+            # preconditioned ~unit-scale 74-dim posterior (U-turn needs
+            # ~pi/eps leapfrogs); deeper caps cost 2^d with no window-ESS
+            # gain
+            (x_eff, x_lps, x_dt, x_C, x_leap, x_acc, x_mom) = _retry(
+                exact_sampler_effective_samples, data, static, params0, kr,
+                x_chains, args.samples, args.burn_in,
+                which=which, max_depth=6,
+            )
+            print(f"# {which} (exact, fused potential, {x_C} chains): "
+                  f"{x_eff:.0f} ess/s, {x_lps:.0f} leapfrogs/s, "
+                  f"{x_leap:.1f} leapfrogs/draw, acc {x_acc:.2f} "
+                  f"({'DA accept_prob' if which == 'nuts' else 'MH flag'}), "
+                  f"eps {x_mom['step_size']:.4f}, moments {x_mom}, "
+                  f"{x_dt:.2f}s", file=sys.stderr)
+            # moments gate vs the exact-MALA-validated stationary limit
+            # (CLAUDE.md): means (-2.97, -2.78).  Exact samplers carry no
+            # step-size bias; residual drift is warmup equilibration of
+            # the 400+400 window, so the gate is a 0.15-wide band (~3x
+            # the posterior std), catching wrong-posterior bugs rather
+            # than window-length effects.
+            for d, ref in enumerate((-2.973, -2.778)):
+                if abs(x_mom["logsn_mean"][d] - ref) > 0.15:
+                    print(f"# WARNING: {which} logsn[{d}] mean "
+                          f"{x_mom['logsn_mean'][d]:.3f} vs validated "
+                          f"{ref:.3f}", file=sys.stderr)
+            summary.update({
+                f"{which}_effective_samples_per_sec": round(x_eff, 2),
+                f"{which}_leapfrogs_per_sec": round(x_lps, 1),
+                f"{which}_accept": round(x_acc, 3),
+                f"{which}_step_size": round(x_mom["step_size"], 5),
+                f"{which}_logsn_mean": [round(v, 4)
+                                        for v in x_mom["logsn_mean"]],
+                f"{which}_logsn_std": [round(v, 4)
+                                       for v in x_mom["logsn_std"]],
+                "exact_sampler_chains": x_C,
+            })
+            if which == "nuts":
+                summary.update(
+                    nuts_leapfrogs_per_draw=round(x_leap, 2),
+                    nuts_moved_frac=round(x_mom.get("moved_frac", 0.0), 3))
+            done(which)
+        except Exception as e:
+            print(f"# {which} phase skipped: {e}", file=sys.stderr)
+
+    # ---- fused SG-MCMC family at rk4 (cheap, ~15s each) ----
+    if "sgld" in phases and fits(40, "sgld"):
+        try:
+            eff_sps, sgld_sps, sgld_dt = _retry(
+                sgld_effective_samples, data, static, params0, kr,
+                args.chains, args.samples, args.burn_in,
+                grad_engine=args.sgld_grad,
+            )
+            print(f"# sgld: {sgld_sps:.0f} steps/s, {sgld_dt:.2f}s",
+                  file=sys.stderr)
+            summary.update(sgld_steps_per_sec=round(sgld_sps, 1),
+                           effective_samples_per_sec=round(eff_sps, 2))
+            done("sgld")
+        except Exception as e:
+            print(f"# sgld phase skipped: {e}", file=sys.stderr)
+
+    if "psgld" in phases and fits(40, "psgld"):
+        try:
+            p_eff, p_sps, p_dt, _ = _retry(
+                fused_psgld_effective_samples, data, static, params0, kr,
+                args.chains, args.samples, args.burn_in,
+            )
+            print(f"# psgld (fused): {p_sps:.0f} steps/s, {p_eff:.0f} "
+                  f"ess/s, {p_dt:.2f}s", file=sys.stderr)
+            summary.update(
+                psgld_steps_per_sec=round(p_sps, 1),
+                psgld_effective_samples_per_sec=round(p_eff, 2))
+            done("psgld")
+        except Exception as e:
+            print(f"# psgld phase skipped: {e}", file=sys.stderr)
+
+    # aSGHMC at lr=8e-3/c=0.05: the largest step whose STATIONARY moments
+    # stay within ~0.9 sigma of the small-step limit (see CLAUDE.md bias
+    # validation record; lr=1.2e-2 doubles ess/s but drifts 1-2 sigma).
+    if "asghmc" in phases and fits(40, "asghmc"):
+        try:
+            h_eff, h_sps, h_dt, _ = _retry(
+                fused_asghmc_effective_samples, data, static, params0, kr,
+                args.chains, args.samples, args.burn_in,
+            )
+            print(f"# asghmc (fused): {h_sps:.0f} steps/s, {h_eff:.0f} "
+                  f"ess/s, {h_dt:.2f}s", file=sys.stderr)
+            summary.update(
+                asghmc_steps_per_sec=round(h_sps, 1),
+                asghmc_effective_samples_per_sec=round(h_eff, 2))
+            done("asghmc")
+        except Exception as e:
+            print(f"# asghmc phase skipped: {e}", file=sys.stderr)
+
+    if "npsde" in phases and fits(40, "npsde"):
+        try:
+            ns_eff, ns_sps, ns_dt, ns_C = _retry(
+                npsde_psgld_effective_samples, static, params0, args.chains,
+                args.samples, args.burn_in,
+            )
+            print(f"# npsde psgld (batched EM likelihood, {ns_C} chains): "
+                  f"{ns_sps:.0f} steps/s, {ns_eff:.0f} ess/s, {ns_dt:.2f}s",
+                  file=sys.stderr)
+            summary.update(
+                npsde_psgld_steps_per_sec=round(ns_sps, 1),
+                npsde_psgld_effective_samples_per_sec=round(ns_eff, 2),
+                npsde_chains=ns_C)
+            done("npsde")
+        except Exception as e:
+            print(f"# npsde phase skipped: {e}", file=sys.stderr)
+
+    if not args.quick and "nn_dopri5" in phases and fits(90, "nn_dopri5"):
         try:
             nn_d5_sps, nn_d5_dt, nn_d5_C = _retry(
                 fused_nn_dopri5_throughput, data, args.chains, args.rtol,
@@ -993,11 +1364,13 @@ def main():
             )
             print(f"# nn@dopri5 (fused): {nn_d5_sps:.0f} steps/s at "
                   f"{nn_d5_C} chains, {nn_d5_dt:.2f}s", file=sys.stderr)
+            summary.update(nn_dopri5_steps_per_sec=round(nn_d5_sps, 1),
+                           nn_dopri5_chains=nn_d5_C)
+            done("nn_dopri5")
         except Exception as e:
             print(f"# nn@dopri5 phase skipped: {e}", file=sys.stderr)
 
-    svgd_results = []
-    if not args.quick and "svgd" in phases:
+    if not args.quick and "svgd" in phases and fits(130, "svgd"):
         try:
             svgd_results = _retry(
                 svgd_throughput, data, static, params0, kr,
@@ -1007,170 +1380,71 @@ def main():
                 print(f"# svgd: {r['particles']} particles, "
                       f"{r['particle_steps_per_sec']:.0f} psteps/s, "
                       f"phi_rms {r['phi_rms']:.3g}", file=sys.stderr)
+            summary["svgd"] = [
+                {"particles": r["particles"],
+                 "particle_steps_per_sec":
+                     round(r["particle_steps_per_sec"], 1),
+                 "phi_rms": round(r["phi_rms"], 6),
+                 # IMQ KSD to the target posterior on a <=512-particle
+                 # strided subsample: comparable across rounds at fixed
+                 # particle count (cross-count comparisons need equal-
+                 # convergence budgets — CLAUDE.md r4 record)
+                 "ksd_init": round(r["ksd_init"], 4),
+                 "ksd_final": round(r["ksd_final"], 4)}
+                for r in svgd_results
+            ]
+            done("svgd")
         except Exception as e:
             print(f"# svgd phase skipped: {e}", file=sys.stderr)
-
-    p_eff, p_sps, p_dt = 0.0, 0.0, 0.0
-    if "psgld" in phases:
-        p_eff, p_sps, p_dt, _ = _retry(
-            fused_psgld_effective_samples, data, static, params0, kr,
-            args.chains, args.samples, args.burn_in,
-        )
-        print(f"# psgld (fused): {p_sps:.0f} steps/s, {p_eff:.0f} ess/s, "
-              f"{p_dt:.2f}s", file=sys.stderr)
-
-    # aSGHMC at lr=8e-3/c=0.05: the largest step whose STATIONARY moments
-    # stay within ~0.9 sigma of the small-step limit (constant-lr pSGLD at
-    # 1e-3/2e-3 and aSGHMC at 4e-3/6e-3 agree: logsn mean (-2.98,-2.79),
-    # std ~0.048; 12k-step runs at 2048 chains; independently confirmed
-    # by EXACT preconditioned mala_batched at acc 0.48 over 24k steps).
-    # lr=1.2e-2 doubles ess/s again (6.5k) but shifts the mean 1-2 sigma
-    # — rejected.
-    # Momentum decorrelates ~1.5x faster than pSGLD's preconditioner per
-    # wall-second at the same fused step rate.
-    ns_eff, ns_sps, ns_C = 0.0, 0.0, 0
-    if "npsde" in phases:
-        try:
-            ns_eff, ns_sps, ns_dt, ns_C = _retry(
-                npsde_psgld_effective_samples, static, params0, args.chains,
-                args.samples, args.burn_in,
-            )
-            print(f"# npsde psgld (batched EM likelihood, {ns_C} chains): "
-                  f"{ns_sps:.0f} steps/s, {ns_eff:.0f} ess/s, {ns_dt:.2f}s",
-                  file=sys.stderr)
-        except Exception as e:
-            print(f"# npsde phase skipped: {e}", file=sys.stderr)
-
-    # VERDICT r3 #2: exact samplers on the chip — zero-bias ess/s over
-    # the fused batch potential, MH-corrected (no bias validation needed
-    # at all), at the headline chain count (segment sizing inside the
-    # phase keeps per-dispatch device time watchdog-safe at any C).
-    exact = {}
-    for which in ("nuts", "hmc"):
-        if which not in phases or args.quick:
-            continue
-        try:
-            # max_depth=6: the preconditioned posterior is ~unit-scale in
-            # 74 dims, so the U-turn needs ~pi/eps >> 63 leapfrogs and
-            # trees cap at ANY practical depth — deeper caps cost 2^d
-            # fused evals/draw with no window-ESS gain (400-sample
-            # windows are chain-count-limited, ~1.8x chains)
-            (x_eff, x_lps, x_dt, x_C, x_leap, x_acc, x_mom) = _retry(
-                exact_sampler_effective_samples, data, static, params0, kr,
-                args.chains, args.samples, args.burn_in,
-                which=which, max_depth=6,
-            )
-            print(f"# {which} (exact, fused potential, {x_C} chains): "
-                  f"{x_eff:.0f} ess/s, {x_lps:.0f} leapfrogs/s, "
-                  f"{x_leap:.1f} leapfrogs/draw, acc {x_acc:.2f}, "
-                  f"moments {x_mom}, {x_dt:.2f}s", file=sys.stderr)
-            # moments gate vs the exact-MALA-validated stationary limit
-            # (CLAUDE.md): means (-2.97, -2.78).  Exact samplers carry no
-            # step-size bias; residual drift is warmup equilibration of
-            # the 400+400 window (short exact-MALA windows read ~(-2.81,
-            # -2.81) — CLAUDE.md), so the gate is a 0.15-wide band (~3x
-            # the posterior std), catching wrong-posterior bugs rather
-            # than window-length effects.
-            for d, ref in enumerate((-2.973, -2.778)):
-                if abs(x_mom["logsn_mean"][d] - ref) > 0.15:
-                    print(f"# WARNING: {which} logsn[{d}] mean "
-                          f"{x_mom['logsn_mean'][d]:.3f} vs validated "
-                          f"{ref:.3f}", file=sys.stderr)
-            exact[which] = {"eff": x_eff, "leap_per_sec": x_lps,
-                            "chains": x_C, "leap_per_draw": x_leap,
-                            "accept": x_acc, **x_mom}
-        except Exception as e:
-            print(f"# {which} phase skipped: {e}", file=sys.stderr)
-
-    h_eff, h_sps, h_dt = 0.0, 0.0, 0.0
-    if "asghmc" in phases:
-        h_eff, h_sps, h_dt, _ = _retry(
-            fused_asghmc_effective_samples, data, static, params0, kr,
-            args.chains, args.samples, args.burn_in,
-        )
-        print(f"# asghmc (fused): {h_sps:.0f} steps/s, {h_eff:.0f} ess/s, "
-              f"{h_dt:.2f}s", file=sys.stderr)
 
     # BASELINE configs[3]: HAMCMC on the vmapped generic engine.  Fewer
     # chains than the fused phases: each step is a full generic rk4
     # solve fwd+bwd plus the L-BFGS factor recursion, and the dense-metric
     # samplers deliberately stay off the elementwise fused contract.
-    hm_eff, hm_sps, hm_dt, hm_pairs = 0.0, 0.0, 0.0, 0.0
     hm_chains = min(args.chains, 2048)
-    if "hamcmc" in phases:
+    if "hamcmc" in phases and fits(60, "hamcmc"):
         try:
             hm_eff, hm_sps, hm_dt, hm_pairs = _retry(
                 hamcmc_effective_samples, data, static, params0, kr,
                 hm_chains, args.samples, args.burn_in,
             )
             print(f"# hamcmc (generic, {hm_chains} chains): {hm_sps:.0f} "
-                  f"steps/s, {hm_eff:.0f} ess/s, {hm_pairs:.1f} mean pairs, "
-                  f"{hm_dt:.2f}s", file=sys.stderr)
+                  f"steps/s, {hm_eff:.0f} ess/s, {hm_pairs:.1f} mean "
+                  f"pairs, {hm_dt:.2f}s", file=sys.stderr)
+            summary.update(
+                hamcmc_steps_per_sec=round(hm_sps, 1),
+                hamcmc_effective_samples_per_sec=round(hm_eff, 2),
+                hamcmc_chains=hm_chains)
+            done("hamcmc")
         except Exception as e:
             print(f"# hamcmc phase skipped: {e}", file=sys.stderr)
 
-    # VERDICT r3 #6: chip numbers for the round-3 model families
-    cnf_ips, cnf_loss0, cnf_loss1 = 0.0, 0.0, 0.0
-    if not args.quick and "cnf" in phases:
-        try:
-            cnf_ips, cnf_loss0, cnf_loss1 = _retry(cnf_training_throughput)
-            print(f"# cnf (ffjord, hutchinson, 4096x2 batch): "
-                  f"{cnf_ips:.1f} iters/s, nll {cnf_loss0:.3f} -> "
-                  f"{cnf_loss1:.3f}", file=sys.stderr)
-        except Exception as e:
-            print(f"# cnf phase skipped: {e}", file=sys.stderr)
-
-    lsde_ips, lsde_loss0, lsde_loss1 = 0.0, 0.0, 0.0
-    if not args.quick and "latent_sde" in phases:
-        try:
-            lsde_ips, lsde_loss0, lsde_loss1 = _retry(
-                latent_sde_training_throughput)
-            print(f"# latent_sde (B=32, T=50, latent 4): {lsde_ips:.1f} "
-                  f"iters/s, -elbo {lsde_loss0:.1f} -> {lsde_loss1:.1f}",
-                  file=sys.stderr)
-        except Exception as e:
-            print(f"# latent_sde phase skipped: {e}", file=sys.stderr)
-
     # BASELINE configs[1]: spiral neural-ODE training iterations/s
-    sp_adj, sp_disc = 0.0, 0.0
-    if not args.quick and "spiral" in phases:
+    if not args.quick and "spiral" in phases and fits(100, "spiral"):
         try:
             sp_adj, sp_disc, sp_al, sp_dl = _retry(spiral_adjoint_throughput)
             print(f"# spiral dopri5: {sp_adj:.1f} iters/s adjoint "
                   f"(loss {sp_al:.3f}), {sp_disc:.1f} iters/s discrete "
                   f"(loss {sp_dl:.3f})", file=sys.stderr)
+            summary.update(spiral_adjoint_iters_per_sec=round(sp_adj, 2),
+                           spiral_discrete_iters_per_sec=round(sp_disc, 2))
+            done("spiral")
         except Exception as e:
             print(f"# spiral phase skipped: {e}", file=sys.stderr)
 
-    # Baseline: one chain on one CPU core (the reference's deployment
-    # unit), measured in a subprocess with a forced-CPU jax backend
-    # (initializing a second backend in-process hangs under this
-    # environment's TPU platform plugin).
+    # ---- collect the concurrent CPU baseline ----
     vs_baseline = None
-    if not args.skip_baseline and "baseline" in phases:
-        import os
-        import subprocess
-
+    if baseline_proc is not None:
         try:
-            env = dict(os.environ)
-            # Strip the TPU platform plugin: its sitecustomize would hang
-            # claiming the chip the parent process holds.
-            env["PYTHONPATH"] = ":".join(
-                p for p in (env.get("PYTHONPATH", "").split(":")
-                            + [os.path.dirname(os.path.abspath(__file__))])
-                if p and ".axon_site" not in p
-            )
-            env["JAX_PLATFORMS"] = "cpu"
-            out = subprocess.run(
-                [sys.executable, __file__, "--_baseline-worker",
-                 "--rtol", str(args.rtol), "--atol", str(args.atol)],
-                capture_output=True, text=True, timeout=600, env=env,
-            )
-            cpu_rate = float(out.stdout.strip().splitlines()[-1])
+            rem = max(30.0, deadline - time.time())
+            out, _ = baseline_proc.communicate(timeout=rem)
+            cpu_rate = float(out.strip().splitlines()[-1])
             vs_baseline = evals_per_sec / cpu_rate
             print(f"# cpu single-chain baseline: {cpu_rate:.0f} evals/s",
                   file=sys.stderr)
+            done("baseline")
         except Exception as e:
+            baseline_proc.kill()
             print(f"# baseline skipped: {e}", file=sys.stderr)
     if vs_baseline is None:
         vs_baseline = 1.0
@@ -1179,93 +1453,8 @@ def main():
     # single-chain rate by the fused throughput
     vs_baseline_fused = vs_baseline * (f_evals_per_sec / evals_per_sec) \
         if vs_baseline != 1.0 else 1.0
-    print(json.dumps({
-        "metric": "dopri5_rhs_evals_per_sec_per_chip",
-        "value": round(f_evals_per_sec, 1),
-        "unit": "RHS evals/s",
-        "vs_baseline": round(vs_baseline_fused, 2),
-        "chains": f_chains,
-        "mean_nfe_per_solve": round(f_nfe, 1),
-        "rtol": args.rtol,
-        "solves_per_sec": round(f_chains / f_dt, 1),
-        "generic_solves_per_sec": round(args.chains / fwd_dt, 1),
-        "fused_speedup": round(f_evals_per_sec * args.chains
-                               / (evals_per_sec * f_chains), 2),
-        "sgld_steps_per_sec": round(sgld_sps, 1),
-        "sgld_grad_engine": args.sgld_grad,
-        "effective_samples_per_sec": round(eff_sps, 2),
-        "psgld_steps_per_sec": round(p_sps, 1),
-        "psgld_effective_samples_per_sec": round(p_eff, 2),
-        "asghmc_steps_per_sec": round(h_sps, 1),
-        "asghmc_effective_samples_per_sec": round(h_eff, 2),
-        "peak_solves_per_sec": round(peak_sps, 1),
-        "peak_chains": peak_chains,
-        # the literal BASELINE north star: gradients THROUGH the adaptive
-        # dopri5 solve, fused end to end (ops/gp_dopri5_grad)
-        "sgld_dopri5_steps_per_sec": round(d5_sps, 1),
-        "sgld_dopri5_effective_samples_per_sec": round(d5_eff, 2),
-        "psgld_dopri5_steps_per_sec": round(d5p_sps, 1),
-        "psgld_dopri5_effective_samples_per_sec": round(d5p_eff, 2),
-        # NN mean-function model at adaptive dopri5 tolerance, fused
-        # (ops/mlp_dopri5; each step = whole solve + discrete adjoint)
-        "nn_dopri5_steps_per_sec": round(nn_d5_sps, 1),
-        "nn_dopri5_chains": nn_d5_C,
-        # BASELINE configs[4]: SVGD ensembles (fused batch potential;
-        # the >=4096 entry exercises the Pallas RBF tile)
-        "svgd": [
-            {"particles": r["particles"],
-             "particle_steps_per_sec": round(r["particle_steps_per_sec"], 1),
-             "phi_rms": round(r["phi_rms"], 6),
-             # IMQ KSD to the target posterior on a <=512-particle strided
-             # subsample: comparable across particle counts and rounds
-             "ksd_init": round(r["ksd_init"], 4),
-             "ksd_final": round(r["ksd_final"], 4)}
-            for r in svgd_results
-        ],
-        # VERDICT r3 #2: exact samplers (adaptive NUTS / HMC) over the
-        # fused batch potential — zero-bias ess/s + leapfrog budget +
-        # stationary logsn moments (gated vs the validated limit above)
-        "nuts_effective_samples_per_sec": round(
-            exact.get("nuts", {}).get("eff", 0.0), 2),
-        "nuts_leapfrogs_per_sec": round(
-            exact.get("nuts", {}).get("leap_per_sec", 0.0), 1),
-        "nuts_leapfrogs_per_draw": round(
-            exact.get("nuts", {}).get("leap_per_draw", 0.0), 2),
-        "nuts_accept": round(exact.get("nuts", {}).get("accept", 0.0), 3),
-        "nuts_logsn_mean": exact.get("nuts", {}).get("logsn_mean", []),
-        "nuts_logsn_std": exact.get("nuts", {}).get("logsn_std", []),
-        "hmc_effective_samples_per_sec": round(
-            exact.get("hmc", {}).get("eff", 0.0), 2),
-        "hmc_leapfrogs_per_sec": round(
-            exact.get("hmc", {}).get("leap_per_sec", 0.0), 1),
-        "hmc_accept": round(exact.get("hmc", {}).get("accept", 0.0), 3),
-        "hmc_logsn_mean": exact.get("hmc", {}).get("logsn_mean", []),
-        "hmc_logsn_std": exact.get("hmc", {}).get("logsn_std", []),
-        "exact_sampler_chains": exact.get("nuts", {}).get(
-            "chains", exact.get("hmc", {}).get("chains", 0)),
-        # VERDICT r3 #6: round-3 model families' chip numbers
-        "cnf_train_iters_per_sec": round(cnf_ips, 2),
-        "cnf_nll_drop": round(cnf_loss0 - cnf_loss1, 3),
-        "latent_sde_train_iters_per_sec": round(lsde_ips, 2),
-        "latent_sde_elbo_drop": round(lsde_loss0 - lsde_loss1, 3),
-        # NPSDE (beyond reference): pSGLD over the batched EM
-        # transition pseudo-likelihood (sde.make_gp_sde_potential_batched)
-        "npsde_psgld_steps_per_sec": round(ns_sps, 1),
-        "npsde_psgld_effective_samples_per_sec": round(ns_eff, 2),
-        "npsde_chains": ns_C,
-        # BASELINE configs[3]: HAMCMC (vmapped generic engine)
-        "hamcmc_steps_per_sec": round(hm_sps, 1),
-        "hamcmc_effective_samples_per_sec": round(hm_eff, 2),
-        "hamcmc_chains": hm_chains if hm_sps else 0,
-        # BASELINE configs[1]: spiral neural-ODE training iterations/s
-        # (dopri5 rtol=1e-7; adjoint = the reference's --adjoint engine)
-        "spiral_adjoint_iters_per_sec": round(sp_adj, 2),
-        "spiral_discrete_iters_per_sec": round(sp_disc, 2),
-        # (max-min)/best over the best-of-3 sustained repeats of the
-        # headline phase: round-over-round deltas inside this band are
-        # axon host-sync noise, not regressions
-        "headline_spread_rel": round(f_spread, 4),
-    }))
+    summary["vs_baseline"] = round(vs_baseline_fused, 2)
+    print(emit_file(), flush=True)
 
 
 if __name__ == "__main__":

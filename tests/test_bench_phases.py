@@ -63,17 +63,17 @@ def test_exact_sampler_phase_smoke():
 
 @pytest.mark.slow
 def test_cnf_phase_smoke():
-    ips, l0, l1 = bench.cnf_training_throughput(n_iters=3, n_data=64,
-                                                hidden=(8,), n_steps_grid=4)
-    assert ips > 0
+    ips, l0, l1, spread = bench.cnf_training_throughput(
+        n_iters=3, n_data=64, hidden=(8,), n_steps_grid=4)
+    assert ips > 0 and spread >= 0
     assert np.isfinite(l0) and np.isfinite(l1)
 
 
 @pytest.mark.slow
 def test_latent_sde_phase_smoke():
-    ips, l0, l1 = bench.latent_sde_training_throughput(n_iters=3, B=4, T=9,
-                                                       latent_dim=3)
-    assert ips > 0
+    ips, l0, l1, spread = bench.latent_sde_training_throughput(
+        n_iters=3, B=4, T=9, latent_dim=3)
+    assert ips > 0 and spread >= 0
     assert np.isfinite(l0) and np.isfinite(l1)
 
 
