@@ -10,7 +10,18 @@
 - mlp_dopri5: differentiable whole-solve dopri5 for the MLP field
 - fused_adaptive: the shared recording/replay kernel bodies behind
   gp_dopri5_grad and mlp_dopri5 (field-callback parameterized)
+- fused_field: the PUBLIC fused adaptive engine — register any vector
+  field (FusedField) and get the differentiable whole-solve dopri5
+  path without writing a kernel (docs/MIGRATION.md "Fusing a new
+  model")
+- spiral_dopri5: the spiral y^3-MLP field registered with fused_field
+  (the worked example for new-field registration)
 """
+from .fused_field import (  # noqa: F401
+    FusedField,
+    fused_dopri5_stats,
+    fused_dopri5_trajectory,
+)
 from .gp_dopri5 import gp_dopri5_solve, gp_dopri5_solve_whole  # noqa: F401
 from .gp_dopri5_grad import (  # noqa: F401
     gp_dopri5_trajectory,
@@ -24,8 +35,19 @@ from .mlp_dopri5 import (  # noqa: F401
 )
 from .mlp_rk4 import make_fused_mlp_potential, mlp_rk4_trajectory  # noqa: F401
 from .pallas_rbf import svgd_phi_pallas, svgd_phi_reference  # noqa: F401
+from .spiral_dopri5 import (  # noqa: F401
+    make_fused_spiral_potential_dopri5,
+    spiral_dopri5_solve_stats,
+    spiral_dopri5_trajectory,
+)
 
 __all__ = [
+    "FusedField",
+    "fused_dopri5_stats",
+    "fused_dopri5_trajectory",
+    "make_fused_spiral_potential_dopri5",
+    "spiral_dopri5_solve_stats",
+    "spiral_dopri5_trajectory",
     "gp_dopri5_solve",
     "gp_dopri5_solve_whole",
     "gp_dopri5_trajectory",

@@ -672,6 +672,106 @@ def fused_nn_dopri5_throughput(data, n_chains, rtol, atol, n_steps=100,
     return C * n_steps / dt, dt, C
 
 
+def spiral_fused_throughput(n_chains, rtol, atol, n_steps=200,
+                            n_steps_generic=20, H=50, N=3, T=16):
+    """VERDICT r4 #2 acceptance: the spiral y^3-MLP field fused through
+    the PUBLIC engine (ops/fused_field + ops/spiral_dopri5 — a field
+    registration, no hand-written kernel) vs the generic vmapped
+    bounded-dopri5 backprop at the same configuration.  Measures pSGLD
+    steps/s on the spiral SSE+L2 posterior (each step = whole adaptive
+    solve + discrete-adjoint backward for every chain)."""
+    from bayesian_ode_tpu import odeint, samplers
+    from bayesian_ode_tpu.models import spiral
+    from bayesian_ode_tpu.ops.spiral_dopri5 import (
+        make_fused_spiral_potential_dopri5,
+        spiral_dopri5_solve_stats,
+    )
+
+    f32 = jnp.float32
+    C = ((n_chains + 127) // 128) * 128
+    ts = jnp.linspace(0.0, 2.5, T).astype(f32)
+    with jax.default_matmul_precision("highest"):
+        true = odeint(spiral.true_field, spiral.TRUE_Y0,
+                      jnp.linspace(0.0, 2.5, 3 * N), method="dopri5",
+                      rtol=1e-9, atol=1e-11)
+    x0 = true[::3][:N].astype(f32)                      # (N, 2) on the orbit
+    p1 = spiral.init_params(jax.random.PRNGKey(0), hidden=H)
+    pos0 = jax.tree.map(
+        lambda x: (x[None] + 0.05 * jax.random.normal(
+            jax.random.PRNGKey(1), (C,) + x.shape)).astype(f32), p1)
+    Y = np.asarray(jax.vmap(
+        lambda y0: odeint(spiral.true_field, y0, ts, method="dopri5",
+                          rtol=1e-7, atol=1e-9))(x0)).astype(np.float32)
+    Y = Y + 0.05 * np.asarray(
+        jax.random.normal(jax.random.PRNGKey(2), Y.shape))
+
+    # gradient-budget gate (the nn_dopri5 phase's analogue)
+    _, st = spiral_dopri5_solve_stats(pos0, x0, ts, rtol=rtol, atol=atol,
+                                      store_steps=128)
+    max_it = int(jnp.max(st["n_iterations"]))
+    print(f"# spiral_fused step budget: max {max_it}/128", file=sys.stderr)
+    if max_it > 128:
+        raise RuntimeError(f"store_steps=128 < max {max_it}")
+
+    pot = make_fused_spiral_potential_dopri5(x0, ts, Y, reg=0.5,
+                                             rtol=rtol, atol=atol,
+                                             interpret=False)
+    kernel = samplers.psgld_batched(pot, 1e-5)
+    state = kernel.init(pos0)
+    run = jax.jit(lambda s, k: samplers.sample_chain(
+        kernel, s, k, num_samples=1, burn_in=n_steps - 1)[0])
+    jax.block_until_ready(run(state, jax.random.PRNGKey(8)))
+    t0 = time.perf_counter()
+    jax.block_until_ready(run(state, jax.random.PRNGKey(9)))
+    fused_sps = C * n_steps / (time.perf_counter() - t0)
+
+    print(f"# spiral_fused: {fused_sps:.0f} steps/s at {C} chains",
+          file=sys.stderr)
+
+    # generic engine at the same configuration (vmapped per-chain
+    # bounded-dopri5 backprop — what every new model was stuck with
+    # before the public fused engine).  Capped at 1024 chains: the
+    # bounded scan materializes (budget, C, N, H) stage buffers whose
+    # TPU tile padding (50 -> 128 lanes, 3.4x) blows HBM at 10k chains
+    # x H=50 (measured 17.9G > 15.75G), and the 2048-chain program has
+    # also tripped the remote compile helper; per-chain-step throughput
+    # is vector-saturated well below 1024 (measured 3,424 steps/s at
+    # 512), so steps/s is comparable.  The 16-step interval budget is
+    # right-sized to the measured ~3-4 accepted steps/interval (max 41
+    # lockstep iterations/solve).  Guarded separately: a generic-path
+    # failure must not discard the fused measurement.
+    gen_sps = 0.0
+    try:
+        Cg = min(C, 1024)
+        pos_g = jax.tree.map(lambda x: x[:Cg], pos0)
+        Xj = jnp.asarray(Y)
+
+        def gen_pot(pc):
+            f = lambda tt, X: spiral.vector_field(pc, tt, X)  # noqa: E731
+            with jax.default_matmul_precision("highest"):
+                traj = odeint(f, x0, ts, method="dopri5", rtol=rtol,
+                              atol=atol,
+                              options={"mode": "bounded",
+                                       "max_steps_per_interval": 16})
+            loss = jnp.sum((Xj - jnp.transpose(traj, (1, 0, 2))) ** 2)
+            l2 = sum(jnp.sum(v ** 2) for v in jax.tree.leaves(pc))
+            return loss + 0.5 * l2
+
+        gkernel = samplers.psgld(gen_pot, 1e-5)
+        gstates = jax.vmap(gkernel.init)(pos_g)
+        keys = jax.random.split(jax.random.PRNGKey(3), Cg)
+        grun = jax.jit(lambda s, k: samplers.sample_chains(
+            gkernel, s, k, num_samples=1, burn_in=n_steps_generic - 1)[0])
+        jax.block_until_ready(grun(gstates, keys))
+        t0 = time.perf_counter()
+        jax.block_until_ready(grun(gstates, keys))
+        gen_sps = Cg * n_steps_generic / (time.perf_counter() - t0)
+    except Exception as e:
+        print(f"# spiral_fused generic comparison skipped: {e}",
+              file=sys.stderr)
+    return fused_sps, gen_sps, C, max_it
+
+
 def svgd_throughput(data, static, params0, kr, particle_counts, n_steps):
     """BASELINE.json configs[4]: SVGD particle ensembles on the GP
     mean-function ODE posterior.  Scores run through the fused rk4 batch
@@ -907,7 +1007,8 @@ def spiral_adjoint_throughput(n_iters=100, data_size=1000, batch_time=10,
 
 _OPTIONAL_PHASES = ("peak", "sgld", "sgld_dopri5", "nn_dopri5", "svgd",
                     "psgld", "asghmc", "npsde", "hamcmc", "spiral",
-                    "nuts", "hmc", "cnf", "latent_sde", "baseline")
+                    "spiral_fused", "nuts", "hmc", "cnf", "latent_sde",
+                    "baseline")
 
 
 class _PhaseSkipped(Exception):
@@ -1031,6 +1132,9 @@ def main():
         "psgld_dopri5_effective_samples_per_sec": 0.0,
         "nn_dopri5_steps_per_sec": 0.0,
         "nn_dopri5_chains": 0,
+        "spiral_fused_steps_per_sec": 0.0,
+        "spiral_fused_generic_steps_per_sec": 0.0,
+        "spiral_fused_chains": 0,
         "svgd": [],
         "nuts_effective_samples_per_sec": 0.0,
         "nuts_leapfrogs_per_sec": 0.0,
@@ -1369,6 +1473,24 @@ def main():
             done("nn_dopri5")
         except Exception as e:
             print(f"# nn@dopri5 phase skipped: {e}", file=sys.stderr)
+
+    # VERDICT r4 #2: third field (spiral) fused through the PUBLIC engine
+    if not args.quick and "spiral_fused" in phases \
+            and fits(90, "spiral_fused"):
+        try:
+            sf_sps, sf_gen, sf_C, _ = _retry(
+                spiral_fused_throughput, args.chains, args.rtol, args.atol,
+            )
+            print(f"# spiral_fused (public engine, {sf_C} chains): "
+                  f"{sf_sps:.0f} steps/s fused vs {sf_gen:.0f} generic "
+                  f"({sf_sps / max(sf_gen, 1.0):.1f}x)", file=sys.stderr)
+            summary.update(
+                spiral_fused_steps_per_sec=round(sf_sps, 1),
+                spiral_fused_generic_steps_per_sec=round(sf_gen, 1),
+                spiral_fused_chains=sf_C)
+            done("spiral_fused")
+        except Exception as e:
+            print(f"# spiral_fused phase skipped: {e}", file=sys.stderr)
 
     if not args.quick and "svgd" in phases and fits(130, "svgd"):
         try:
