@@ -12,9 +12,15 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-TRUE_A = jnp.asarray([[-0.1, 2.0], [-2.0, -0.1]])
-TRUE_Y0 = jnp.asarray([2.0, 0.0])
+# numpy, not jnp: a module-level jnp constant initializes the XLA
+# backend at import, which breaks multi-host users who must call
+# jax.distributed.initialize / parallel.runtime.init_runtime BEFORE the
+# first device use (tests/test_runtime_multiprocess.py).  jnp ops accept
+# numpy operands transparently.
+TRUE_A = np.asarray([[-0.1, 2.0], [-2.0, -0.1]])
+TRUE_Y0 = np.asarray([2.0, 0.0])
 
 
 def true_field(t, y):
