@@ -388,7 +388,10 @@ def run_sampler(config: Dict, data: Dict, output: str,
                  "accepted": accepted,
                  "step_size": infos.get("step_size", jnp.zeros(()))}
         if swap_acc is not None:
-            infos["swap_accepted"] = swap_acc
+            # (C, T), consistent with every neighboring info entry: only
+            # the scalar mean is consumed today, but a future per-chain
+            # consumer must not silently read the wrong axis (ADVICE r4)
+            infos["swap_accepted"] = jnp.swapaxes(swap_acc, 0, 1)
     elif config["method"] == "SVGD":
         # BASELINE config #5: SVGD over a particle ensemble on the GP
         # posterior (the reference's stein.py stub, completed).  The
@@ -984,6 +987,20 @@ def run_evidence(config: Dict, data: Dict, output: str,
         "loo_elpd": float(loo.elpd), "loo_se": float(loo.se),
         "loo_max_khat": float(jnp.max(loo.pareto_k)),
     }
+    # machine-visible per-estimator reliability (VERDICT r4 #6): rank
+    # models by summary["rank_by"], never by TI (diagnostic-only on ODE
+    # posteriors) or a budget-sensitive SS
+    rel = samplers.evidence_reliability(
+        log_z_ti=summary["log_z_ti"], log_z_ss=summary["log_z_ss"],
+        ss_se=summary["ss_se"], log_z_gss=summary["log_z_gss"],
+        gss_se=summary["gss_se"], log_z_smc=smc_mean, smc_se=smc_se,
+        log_z_laplace=summary["log_z_laplace"],
+        laplace_hessian_pd=bool(lap.hessian_pd),
+        waic_elpd=summary["waic_elpd"],
+        ladder_nonfinite=int(res.num_nonfinite),
+        gss_nonfinite=int(gss.num_nonfinite))
+    summary["estimator_reliability"] = rel["estimators"]
+    summary["rank_by"] = rel["rank_by"]
     detail = dict(summary)
     detail.update({
         "smc_log_z_repeats": smc_logz,

@@ -61,6 +61,7 @@ from .ensemble import (  # noqa: F401
     stretch_move,
 )
 from .evidence import (  # noqa: F401
+    evidence_reliability,
     EvidenceResult,
     fit_gaussian_reference,
     log_evidence,
@@ -153,6 +154,7 @@ __all__ = [
     "init_chains",
     "kernel_stein_discrepancy",
     "fit_gaussian_reference",
+    "evidence_reliability",
     "log_evidence",
     "log_evidence_gss",
     "mala",

@@ -64,8 +64,9 @@ from ..utils.pytree import PyTree, tree_random_normal
 from .base import batch_value_and_grad
 from .langevin import _tree_sum_squares_per_chain, _tree_where_per_chain
 
-__all__ = ["EvidenceResult", "fit_gaussian_reference",
-           "log_evidence", "log_evidence_gss", "power_ladder"]
+__all__ = ["EvidenceResult", "evidence_reliability",
+           "fit_gaussian_reference", "log_evidence", "log_evidence_gss",
+           "power_ladder"]
 
 
 def power_ladder(num_rungs: int, power: float = 5.0) -> jax.Array:
@@ -236,7 +237,14 @@ def log_evidence(key: jax.Array,
     # report the count so consumers can judge the rung health.
     finite = jnp.isfinite(lls)
     num_nonfinite = jnp.sum(~finite)
-    ll_best = jnp.max(jnp.where(finite, lls, -jnp.inf))
+    # ADVICE r4: when EVERY retained draw is non-finite the max over an
+    # all-False mask is -inf and the floor ll_best - 1e4 stays -inf —
+    # log_z_ss/ss_se would come out -inf/NaN "despite" the floor.  Use a
+    # finite fallback so the arithmetic stays clean, and NaN-flag the SS
+    # estimate below (like TI) — a floor-only estimate has no meaning.
+    any_finite = jnp.any(finite)
+    ll_best = jnp.where(any_finite,
+                        jnp.max(jnp.where(finite, lls, -jnp.inf)), 0.0)
     lls = jnp.where(finite, lls, ll_best - 1e4)
     mean_ll = jnp.mean(lls, axis=(0, 2))                          # (K,)
 
@@ -253,6 +261,9 @@ def log_evidence(key: jax.Array,
     log_z_ss = jnp.sum(
         jax.scipy.special.logsumexp(bridge, axis=(0, 2))
         - jnp.log(float(n_keep * C)))
+    # no finite draw anywhere -> the estimate is pure floor; flag it
+    log_z_ss = jnp.where(any_finite, log_z_ss,
+                         jnp.asarray(jnp.nan, log_z_ss.dtype))
 
     # delete-one-chain jackknife standard errors (chains are independent;
     # the jackknife handles the SS estimator's nonlinear pooled logsumexp
@@ -366,3 +377,108 @@ def log_evidence_gss(key: jax.Array,
     if num_chains is not None:
         init = jax.tree.map(lambda l: l[:num_chains], reference_draws)
     return log_evidence(key, lik_bridge, log_ref, init, **ladder_kwargs)
+
+
+def evidence_reliability(*, log_z_ti, log_z_ss, ss_se, log_z_gss, gss_se,
+                         log_z_smc, smc_se, log_z_laplace,
+                         laplace_hessian_pd, waic_elpd,
+                         ladder_nonfinite=0, gss_nonfinite=0,
+                         disagree_sigma=3.0):
+    """Machine-visible per-estimator reliability flags (VERDICT r4 #6).
+
+    The measured estimator regime on GP-ODE posteriors (recorded in
+    examples/evidence_model_selection.py and the round-4 record) was
+    docstring-visible only; this encodes it so downstream model
+    selection cannot silently rank by an estimator the docs call
+    diagnostic-only.  Inputs are the numbers `run_evidence` already
+    computes; returns
+    {"estimators": {name: {"status", "reason"}}, "rank_by": [...]}.
+
+    Statuses: "primary" (use for ranking), "ok" (agrees with a primary
+    within `disagree_sigma` joint SEs), "budget_sensitive" /
+    "disagrees" (detectable drift from the primaries — the prior-
+    bridged SS moved +292 nats with budget on the GP-VDP posterior),
+    "diagnostic_only" (known-biased estimator class on this posterior
+    family), "inconsistent" (fails an internal sanity bound),
+    "failed" (non-finite).
+    """
+    import math
+
+    flags = {}
+
+    def sigma_gap(a, a_se, b, b_se):
+        # non-finite SEs (e.g. smc_se with a single repeat) contribute
+        # nothing rather than poisoning the gap; an all-degenerate SE
+        # falls back to 1 nat so the test is |a - b| in nats
+        def comp(x):
+            return x * x if math.isfinite(x) and x > 0.0 else 0.0
+
+        se = math.sqrt(comp(a_se) + comp(b_se)) or 1.0
+        return abs(a - b) / se
+
+    smc_ok = math.isfinite(log_z_smc)
+    flags["smc"] = (
+        {"status": "primary",
+         "reason": "prior-annealed population matches the exploding-"
+                   "prior-field regime; repeat-spread SE"}
+        if smc_ok else {"status": "failed", "reason": "non-finite log Z"})
+
+    if not math.isfinite(log_z_gss) or gss_nonfinite:
+        flags["gss"] = {"status": "failed" if not math.isfinite(log_z_gss)
+                        else "budget_sensitive",
+                        "reason": f"{int(gss_nonfinite)} non-finite "
+                                  "bridge draws (floored to zero weight)"}
+    elif smc_ok and sigma_gap(log_z_gss, gss_se, log_z_smc,
+                              smc_se) > disagree_sigma:
+        flags["gss"] = {"status": "disagrees",
+                        "reason": "beyond %g sigma from SMC"
+                                  % disagree_sigma}
+    else:
+        flags["gss"] = {"status": "primary",
+                        "reason": "posterior-fitted normalized reference "
+                                  "keeps every rung in the data-fit "
+                                  "regime (Fan et al. 2011)"}
+
+    if not math.isfinite(log_z_ss):
+        flags["ss"] = {"status": "failed",
+                       "reason": "non-finite (all draws floored or "
+                                 "ladder degenerate)"}
+    elif ladder_nonfinite:
+        flags["ss"] = {"status": "budget_sensitive",
+                       "reason": f"{int(ladder_nonfinite)} non-finite "
+                                 "hot-rung draws floored to zero weight"}
+    elif smc_ok and sigma_gap(log_z_ss, ss_se, log_z_smc,
+                              smc_se) > disagree_sigma:
+        flags["ss"] = {"status": "budget_sensitive",
+                       "reason": "prior-bridged hot-rung equilibration "
+                                 "drift detectable (beyond %g sigma "
+                                 "from SMC; measured +292 nats with "
+                                 "budget on GP-VDP)" % disagree_sigma}
+    else:
+        flags["ss"] = {"status": "ok",
+                       "reason": "agrees with the primary estimators"}
+
+    flags["ti"] = {"status": "diagnostic_only",
+                   "reason": "arithmetic rung means carry large hot-rung "
+                             "equilibration bias at practical budgets on "
+                             "ODE posteriors (measured; NaN when any "
+                             "draw was floored)"}
+
+    if not math.isfinite(log_z_laplace) or not laplace_hessian_pd:
+        flags["laplace"] = {"status": "failed",
+                            "reason": "non-PD Hessian or non-finite"}
+    elif math.isfinite(waic_elpd) and log_z_laplace > waic_elpd:
+        flags["laplace"] = {"status": "inconsistent",
+                            "reason": "log Z above the WAIC elpd bound "
+                                      "(log Z <= elpd must hold; Laplace "
+                                      "overestimates by hundreds of nats "
+                                      "on thin/curved ODE posteriors)"}
+    else:
+        flags["laplace"] = {"status": "diagnostic_only",
+                            "reason": "Gaussian curvature approximation"}
+
+    rank_by = [k for k in ("smc", "gss") if flags[k]["status"] == "primary"]
+    if not rank_by:  # degenerate runs: fall back to anything finite
+        rank_by = [k for k in ("smc", "gss", "ss")
+                   if flags[k]["status"] not in ("failed",)]
+    return {"estimators": flags, "rank_by": rank_by}

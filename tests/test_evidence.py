@@ -260,3 +260,83 @@ def test_fit_gaussian_reference_normalized():
     assert abs(ent_mc - ent_true) < 0.05
     # and sampling matches the fitted moments
     assert np.allclose(np.asarray(jnp.mean(xs["a"], 0)), 1.0, atol=0.1)
+
+
+def test_log_evidence_all_nonfinite_is_nan_flagged():
+    """ADVICE r4: when EVERY retained draw is non-finite the floor used
+    to degenerate (max over an all-False mask = -inf, floor stays -inf,
+    log_z_ss/-inf ss_se/NaN "despite" the floor).  Now both TI and SS
+    are NaN-flagged and the count reports the condition."""
+    log_lik, log_prior, _, _ = _gaussian_model(seed=4)
+
+    def log_lik_inf(p):
+        return jnp.full(jax.tree.leaves(p)[0].shape[0], -jnp.inf)
+
+    C = 8
+    x0 = 0.1 * jax.random.normal(jax.random.key(5), (C, 2))
+    res = samplers.log_evidence(jax.random.key(6), log_lik_inf, log_prior,
+                                {"x": x0}, num_rungs=4, step_size=5e-2,
+                                num_warmup=20, num_samples=20,
+                                adapt_step=True)
+    assert int(res.num_nonfinite) == 4 * C * 20
+    assert np.isnan(float(res.log_z_ss))
+    assert np.isnan(float(res.log_z_ti))
+
+
+def test_evidence_reliability_flags():
+    """VERDICT r4 #6: the measured estimator regime on GP-ODE posteriors
+    must be machine-visible.  Healthy numbers -> SMC/GSS primary, SS ok,
+    TI diagnostic-only; the known pathological case (SS hot-rung budget
+    drift, Laplace above the WAIC bound, TI NaN from floored draws) ->
+    flagged, and rank_by never contains TI or a drifted SS."""
+    healthy = samplers.evidence_reliability(
+        log_z_ti=-95.0, log_z_ss=-91.2, ss_se=0.4,
+        log_z_gss=-91.0, gss_se=0.3, log_z_smc=-91.1, smc_se=0.2,
+        log_z_laplace=-91.5, laplace_hessian_pd=True, waic_elpd=-85.0)
+    est = healthy["estimators"]
+    assert est["smc"]["status"] == "primary"
+    assert est["gss"]["status"] == "primary"
+    assert est["ss"]["status"] == "ok"
+    assert est["ti"]["status"] == "diagnostic_only"
+    assert est["laplace"]["status"] == "diagnostic_only"
+    assert healthy["rank_by"] == ["smc", "gss"]
+
+    # the GP-VDP pathological case (round-4 record): prior-bridged SS
+    # +292-nat budget drift, Laplace hundreds of nats above SMC and
+    # above the WAIC elpd bound, TI NaN (floored hot-rung draws)
+    path = samplers.evidence_reliability(
+        log_z_ti=float("nan"), log_z_ss=-180.0, ss_se=5.0,
+        log_z_gss=-290.0, gss_se=2.0, log_z_smc=-293.0, smc_se=1.5,
+        log_z_laplace=-60.0, laplace_hessian_pd=True, waic_elpd=-85.0,
+        ladder_nonfinite=1200)
+    est = path["estimators"]
+    assert est["ss"]["status"] == "budget_sensitive"
+    assert est["laplace"]["status"] == "inconsistent"
+    assert est["smc"]["status"] == "primary"
+    assert est["gss"]["status"] == "primary"
+    assert "ti" not in path["rank_by"] and "ss" not in path["rank_by"]
+
+    # SS drift detectable purely from the SMC gap (no floored draws)
+    drift = samplers.evidence_reliability(
+        log_z_ti=-3000.0, log_z_ss=-180.0, ss_se=5.0,
+        log_z_gss=-291.0, gss_se=2.0, log_z_smc=-293.0, smc_se=1.5,
+        log_z_laplace=-400.0, laplace_hessian_pd=True, waic_elpd=-85.0)
+    assert drift["estimators"]["ss"]["status"] == "budget_sensitive"
+
+    # single-repeat SMC (nan se) must not poison the gap test
+    one_rep = samplers.evidence_reliability(
+        log_z_ti=-95.0, log_z_ss=-91.2, ss_se=0.4,
+        log_z_gss=-91.0, gss_se=0.3, log_z_smc=-91.1,
+        smc_se=float("nan"), log_z_laplace=-91.5,
+        laplace_hessian_pd=True, waic_elpd=-85.0)
+    assert one_rep["estimators"]["ss"]["status"] == "ok"
+
+    # degenerate: SMC failed -> rank_by falls back to finite estimators
+    failed = samplers.evidence_reliability(
+        log_z_ti=float("nan"), log_z_ss=-180.0, ss_se=5.0,
+        log_z_gss=float("nan"), gss_se=float("nan"),
+        log_z_smc=float("nan"), smc_se=float("nan"),
+        log_z_laplace=float("nan"), laplace_hessian_pd=False,
+        waic_elpd=-85.0)
+    assert failed["estimators"]["smc"]["status"] == "failed"
+    assert failed["rank_by"] == ["ss"]
