@@ -41,6 +41,11 @@ def main(argv=None):
                          "({N,R,noise,x0,t,X,Y,ODE} dict, gp.py:544) "
                          "instead of regenerating the dataset")
     ap.add_argument("--no-plots", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume an interrupted sampling run from its "
+                         "sampler_ckpt.npz (requires config ckpt_every>0; "
+                         "the resumed chain equals an uninterrupted run, "
+                         "PRNG stream included)")
     args = ap.parse_args(argv)
 
     enable_persistent_cache()
@@ -96,6 +101,8 @@ def _run_one(args, run_id: int):
             x0_scale=dspec.get("x0_scale", 1.5),
         )
     for cfg in blob["configs"]:
+        if args.resume:
+            cfg = dict(cfg, resume=True)
         print(worker(cfg, data, output, make_plots=not args.no_plots))
 
 

@@ -15,14 +15,24 @@ import numpy as np
 
 
 def save_pytree(path: str, tree: Any) -> None:
-    """Save a pytree of arrays as an .npz plus its treedef repr."""
+    """Save a pytree of arrays as an .npz plus its treedef repr.
+
+    The write is ATOMIC (tmp file + os.replace): mid-run checkpoints
+    must never be observable half-written — a resume racing a kill
+    (tests/test_experiments.py resume gate) would otherwise load a torn
+    archive."""
     leaves, treedef = jax.tree.flatten(tree)
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    apath = os.path.abspath(path)
+    os.makedirs(os.path.dirname(apath), exist_ok=True)
+    if not apath.endswith(".npz"):
+        apath += ".npz"     # np.savez appends it; mirror that for replace
+    tmp = apath + ".tmp.npz"
     np.savez(
-        path,
+        tmp,
         __treedef__=np.asarray(str(treedef)),
         **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)},
     )
+    os.replace(tmp, apath)
 
 
 def load_pytree(path: str, like: Any) -> Any:

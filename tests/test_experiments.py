@@ -545,3 +545,69 @@ def test_run_sampler_smc(tmp_path, tiny_data):
     assert (out_dir / "chain.npz").exists()
     chain = np.load(out_dir / "chain.npz")
     assert chain["leaf_0"].shape[:2] == (64, 1)   # (particles, 1 sample)
+
+
+def test_checkpoint_resume_equals_uninterrupted(tmp_path, tiny_data,
+                                                monkeypatch):
+    """VERDICT r4 #7: a sampling run killed mid-chain and resumed from
+    sampler_ckpt.npz must produce EXACTLY the chain of an uninterrupted
+    run — PRNG keys included.  The segmented driver path
+    (config ckpt_every > 0) makes this possible: segment-indexed key
+    folds, burn-in only in segment 0, atomic checkpoint saves."""
+    from bayesian_ode_tpu.utils import checkpoint as ckpt_mod
+
+    cfg = tiny_config("Ensemble", thinning=1, ckpt_every=3)
+
+    # uninterrupted reference run (same segmented code path)
+    a_dir = tmp_path / "a"
+    run_sampler(dict(cfg), tiny_data, str(a_dir), make_plots=False)
+    chain_a = np.load(a_dir / "Ensemble" / "1" / "chain.npz")
+
+    # interrupted run: the 3rd checkpoint save dies mid-run (the 2 prior
+    # segments' checkpoints are already atomically on disk)
+    b_dir = tmp_path / "b"
+    real_save = ckpt_mod.save_pytree
+    calls = {"n": 0}
+
+    def dying_save(path, tree):
+        calls["n"] += 1
+        if calls["n"] >= 3:
+            raise KeyboardInterrupt("simulated mid-run kill")
+        real_save(path, tree)
+
+    monkeypatch.setattr(ckpt_mod, "save_pytree", dying_save)
+    with pytest.raises(KeyboardInterrupt):
+        run_sampler(dict(cfg), tiny_data, str(b_dir), make_plots=False)
+    monkeypatch.setattr(ckpt_mod, "save_pytree", real_save)
+    ck = b_dir / "Ensemble" / "1" / "sampler_ckpt.npz"
+    assert ck.exists()
+
+    # resume and compare bitwise
+    run_sampler(dict(cfg, resume=True), tiny_data, str(b_dir),
+                make_plots=False)
+    chain_b = np.load(b_dir / "Ensemble" / "1" / "chain.npz")
+    assert sorted(chain_a.files) == sorted(chain_b.files)
+    for k in chain_a.files:
+        np.testing.assert_array_equal(chain_a[k], chain_b[k], err_msg=k)
+
+
+def test_run_cli_resume_flag(tmp_path, tiny_data):
+    """`python -m bayesian_ode_tpu.experiments.run --resume` plumbs
+    config["resume"]=True through to the worker (completed-checkpoint
+    fast path: the resumed run reuses all saved segments)."""
+    from bayesian_ode_tpu.experiments.run import main as run_main
+
+    configs = [tiny_config("Ensemble", thinning=1, ckpt_every=4)]
+    json_dir, out_dir = str(tmp_path / "json"), str(tmp_path / "out")
+    write_configs(configs, json_dir, out_dir,
+                  data={"ode": "vdp", "N": 2, "T": 12, "t_max": 3.0,
+                        "noise": 0.1, "seed": 0, "x0_scale": 1.0})
+    run_main(["--json-dir", json_dir, "--id", "1", "--no-plots"])
+    chain_1 = np.load(os.path.join(out_dir, "Ensemble", "1", "chain.npz"))
+    # resume over the complete checkpoint: all segments reused, chain
+    # identical
+    run_main(["--json-dir", json_dir, "--id", "1", "--no-plots",
+              "--resume"])
+    chain_2 = np.load(os.path.join(out_dir, "Ensemble", "1", "chain.npz"))
+    for k in chain_1.files:
+        np.testing.assert_array_equal(chain_1[k], chain_2[k], err_msg=k)
