@@ -136,6 +136,25 @@ TSIT5 = ButcherTableau(
         0.4580821059291869,
         -1 / 66,
     ],
+    # c_mid: midpoint weights for the 4th-order quartic dense output,
+    # derived (least-norm lstsq, residual ~1e-16) from the eight
+    # order<=4 dense-output conditions sum_i b_i(1/2) Phi_i(tau) =
+    # (1/2)^rho(tau)/gamma(tau) over the 7 stages — the same construction
+    # as dopri5's DPS_C_MID and dopri8's c_mid; midpoint accuracy
+    # verified O(h^5) empirically (tests/test_odeint.py::
+    # test_tsit5_cmid_order_conditions).  The generic tsit5 keeps the
+    # Tsitouras "stages" interpolant as its default dense output; this
+    # row enables options={"interp": "quartic"} and the fused engine's
+    # tableau-agnostic quartic path (ops/fused_field.py method="tsit5").
+    c_mid=[
+        0.11142574892073395,
+        0.013197067390738587,
+        0.37783998967297555,
+        -0.018471772229541692,
+        0.0031427990704557002,
+        0.01577833690800391,
+        -0.0029121697333658932,
+    ],
     order=5,
 )
 

@@ -16,6 +16,10 @@
   model")
 - spiral_dopri5: the spiral y^3-MLP field registered with fused_field
   (the worked example for new-field registration)
+- gp_field: the GP field as a public-engine registration — the
+  solver-agnostic route (method="tsit5") and the engine consistency
+  gate; the hand-written gp_dopri5_grad adapter stays the production
+  dopri5 path
 """
 from .fused_field import (  # noqa: F401
     FusedField,
@@ -23,6 +27,10 @@ from .fused_field import (  # noqa: F401
     fused_dopri5_trajectory,
 )
 from .gp_dopri5 import gp_dopri5_solve, gp_dopri5_solve_whole  # noqa: F401
+from .gp_field import (  # noqa: F401
+    gp_field_solve_stats,
+    gp_field_trajectory,
+)
 from .gp_dopri5_grad import (  # noqa: F401
     gp_dopri5_trajectory,
     make_fused_gp_potential_dopri5,
@@ -43,6 +51,8 @@ from .spiral_dopri5 import (  # noqa: F401
 
 __all__ = [
     "FusedField",
+    "gp_field_solve_stats",
+    "gp_field_trajectory",
     "fused_dopri5_stats",
     "fused_dopri5_trajectory",
     "make_fused_spiral_potential_dopri5",

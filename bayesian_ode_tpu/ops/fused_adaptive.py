@@ -42,10 +42,26 @@ from ..ode.tableaus import DOPRI5
 from .gp_dopri5 import _midpoint, _quartic_coeffs, _rk_stages, _step_decision
 
 
+def _check_tableau(tableau):
+    """The kernel bodies assume a 7-stage FSAL pair with quartic dense
+    output (dopri5/tsit5): 6 beta rows, k7 = f(y1), c_mid present."""
+    import numpy as np
+
+    if len(tableau.beta) != 6 or tableau.c_mid is None:
+        raise ValueError("fused kernels support 7-stage FSAL tableaus "
+                         "with c_mid dense output (dopri5, tsit5)")
+    if not np.allclose(np.asarray(tableau.c_sol[:6]),
+                       np.asarray(tableau.beta[5]), atol=1e-12):
+        raise ValueError("tableau is not FSAL (c_sol != last beta row)")
+
+
 def make_fwd_rec_kernel(make_rhs, n_weights, rtol, atol, safety, ifactor,
-                        dfactor, N, RP, T, TP, max_steps, S, SP, controller):
+                        dfactor, N, RP, T, TP, max_steps, S, SP, controller,
+                        tableau=DOPRI5):
     """Whole-solve forward with step-mesh recording (see module docstring
-    and ops/gp_dopri5_grad.py for the recording strategy)."""
+    and ops/gp_dopri5_grad.py for the recording strategy).  `tableau` is
+    any 7-stage FSAL pair with quartic dense output (DOPRI5, TSIT5)."""
+    _check_tableau(tableau)
 
     def kernel(px_ref, py_ref, fx_ref, fy_ref, t1_ref, dt_ref, *refs):
         w = tuple(r[:] for r in refs[:n_weights])
@@ -70,10 +86,12 @@ def make_fwd_rec_kernel(make_rhs, n_weights, rtol, atol, safety, ifactor,
             (i, px, py, fx, fy, t1, dt, ep, nfe, nacc, nrej) = carry
             active = (t1 < tf) & (nacc + nrej < max_steps)
 
-            kx, ky, y1x, y1y, f1x, f1y = _rk_stages(rhs, px, py, fx, fy, dt)
+            kx, ky, y1x, y1y, f1x, f1y = _rk_stages(rhs, px, py, fx, fy,
+                                                    dt, tableau)
             accept, ratio, dt_next, ep_next = _step_decision(
                 kx, ky, px, py, y1x, y1y, dt, rtol, atol, safety, ifactor,
-                dfactor, N, RP, err_prev=ep if pi else None)
+                dfactor, N, RP, err_prev=ep if pi else None,
+                tableau=tableau)
             if ep_next is None:
                 ep_next = ep
 
@@ -98,8 +116,8 @@ def make_fwd_rec_kernel(make_rhs, n_weights, rtol, atol, safety, ifactor,
 
             @pl.when(jnp.any(emit))
             def _():
-                midx = _midpoint(px, kx, dt)
-                midy = _midpoint(py, ky, dt)
+                midx = _midpoint(px, kx, dt, tableau)
+                midy = _midpoint(py, ky, dt, tableau)
                 cfs_x = _quartic_coeffs(px, y1x, midx, fx, f1x, dt)
                 cfs_y = _quartic_coeffs(py, y1y, midy, fy, f1y, dt)
                 X = (tsv - t1) / dt
@@ -159,15 +177,18 @@ def make_fwd_rec_kernel(make_rhs, n_weights, rtol, atol, safety, ifactor,
     return kernel
 
 
-def make_bwd_kernel(make_field_vjp, n_weights, n_wbar, N, RP, T, TP, S, SP):
+def make_bwd_kernel(make_field_vjp, n_weights, n_wbar, N, RP, T, TP, S, SP,
+                    tableau=DOPRI5):
     """Reverse sweep over the recorded step mesh (see module docstring).
 
     The adjoint carry is (lx, ly, wbar) with wbar a tuple of `n_wbar`
     arrays shaped like the first `n_wbar` weight blocks; rejected /
     inactive rows pass both the state adjoint and the weight cotangents
-    through untouched."""
-    beta = [[float(b) for b in row] for row in DOPRI5.beta]
-    c_mid = [float(c) for c in DOPRI5.c_mid]
+    through untouched.  The stage-recurrence transpose only assumes the
+    7-stage FSAL structure, so any `_check_tableau`-accepted pair works."""
+    _check_tableau(tableau)
+    beta = [[float(b) for b in row] for row in tableau.beta]
+    c_mid = [float(c) for c in tableau.c_mid]
 
     def kernel(stx_ref, sty_ref, gx_ref, gy_ref, *refs):
         w = tuple(r[:] for r in refs[:n_weights])

@@ -59,8 +59,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..ode.tableaus import DOPRI5, TSIT5
 from .gp_dopri5 import _FAR, _hairer_initial_step, _pad8
 from .gp_dopri5_grad import _store_block_height
+
+# solver-agnostic fused engine (VERDICT r4 #8): any 7-stage FSAL pair
+# with quartic dense output drops into the same recording/replay bodies
+_TABLEAUS = {"dopri5": DOPRI5, "tsit5": TSIT5}
 
 
 class FusedField(NamedTuple):
@@ -126,8 +131,11 @@ def _bwd_tile_for(field, C, tile, W, N, TP, S, SP, RP):
 
 
 def _fwd_impl(field, packed, x0, ts, rtol, atol, safety, ifactor, dfactor,
-              max_steps, store_steps, controller, tile, interpret):
+              max_steps, store_steps, controller, tile, interpret,
+              method="dopri5"):
     from .fused_adaptive import make_fwd_rec_kernel
+
+    tableau = _TABLEAUS[method]
 
     C_in = packed[0].shape[1]
     f32 = jnp.float32
@@ -169,7 +177,7 @@ def _fwd_impl(field, packed, x0, ts, rtol, atol, safety, ifactor, dfactor,
     kernel = make_fwd_rec_kernel(
         lambda w: field.make_rhs(w, N, RP), field.n_weights, rtol, atol,
         safety, ifactor, dfactor, N, RP, T, TP, max_steps, S, SP,
-        controller)
+        controller, tableau=tableau)
 
     def vtile(rows):
         return pl.BlockSpec((rows, tile), lambda i: (0, i),
@@ -209,24 +217,26 @@ def _fwd_impl(field, packed, x0, ts, rtol, atol, safety, ifactor, dfactor,
     return ys, stats, (packed, stx, sty, nit, tsp)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=tuple([0] + list(range(4, 14))))
+@partial(jax.custom_vjp, nondiff_argnums=tuple([0] + list(range(4, 15))))
 def _traj(field, packed, x0, ts, rtol, atol, safety, ifactor, dfactor,
-          max_steps, store_steps, controller, tile, interpret):
+          max_steps, store_steps, controller, tile, interpret,
+          method="dopri5"):
     return _fwd_impl(field, packed, x0, ts, rtol, atol, safety, ifactor,
                      dfactor, max_steps, store_steps, controller, tile,
-                     interpret)[0]
+                     interpret, method)[0]
 
 
 def _fwd_rule(field, packed, x0, ts, rtol, atol, safety, ifactor, dfactor,
-              max_steps, store_steps, controller, tile, interpret):
+              max_steps, store_steps, controller, tile, interpret,
+              method="dopri5"):
     ys, _, res = _fwd_impl(field, packed, x0, ts, rtol, atol, safety,
                            ifactor, dfactor, max_steps, store_steps,
-                           controller, tile, interpret)
+                           controller, tile, interpret, method)
     return ys, (x0, ts) + res
 
 
 def _bwd_rule(field, rtol, atol, safety, ifactor, dfactor, max_steps,
-              store_steps, controller, tile, interpret, res, g):
+              store_steps, controller, tile, interpret, method, res, g):
     from .fused_adaptive import make_bwd_kernel
 
     (x0, ts, packed_pad, stx, sty, nit, tsp) = res
@@ -266,7 +276,8 @@ def _bwd_rule(field, rtol, atol, safety, ifactor, dfactor, max_steps,
         return rhs, rhs_vjp
 
     kernel = make_bwd_kernel(make_field_vjp, field.n_weights, field.n_wbar,
-                             N, RP, T, TP, S, SP)
+                             N, RP, T, TP, S, SP,
+                             tableau=_TABLEAUS[method])
 
     def vtile(rows):
         return pl.BlockSpec((rows, tile_), lambda i: (0, i),
@@ -311,7 +322,7 @@ def fused_dopri5_trajectory(field: FusedField, packed, x0, ts,
                             rtol=1e-7, atol=1e-9, safety=0.9,
                             ifactor=10.0, dfactor=0.2, max_steps=100_000,
                             store_steps=128, controller="i", tile=256,
-                            interpret=False):
+                            interpret=False, method="dopri5"):
     """Adaptive dopri5 trajectories of a registered field, differentiable
     w.r.t. `packed` and `x0` through the hand-written discrete adjoint.
 
@@ -324,21 +335,25 @@ def fused_dopri5_trajectory(field: FusedField, packed, x0, ts,
     if controller not in ("i", "pi"):
         raise ValueError(
             f"unknown step controller {controller!r}; expected 'i' or 'pi'")
+    if method not in _TABLEAUS:
+        raise ValueError(f"unknown fused method {method!r}; expected one "
+                         f"of {sorted(_TABLEAUS)}")
     return _traj(field, tuple(packed), x0, ts, float(rtol), float(atol),
                  float(safety), float(ifactor), float(dfactor),
                  int(max_steps), int(store_steps), controller, tile,
-                 interpret)
+                 interpret, method)
 
 
 def fused_dopri5_stats(field: FusedField, packed, x0, ts, rtol=1e-7,
                        atol=1e-9, safety=0.9, ifactor=10.0, dfactor=0.2,
                        max_steps=100_000, store_steps=128, controller="i",
-                       tile=256, interpret=False):
+                       tile=256, interpret=False, method="dopri5"):
     """Forward solve returning (trajectory, stats) with per-chain
     `nfe` / `n_accepted` / `n_rejected` and the per-tile lockstep
     `n_iterations` the `store_steps` gradient budget must cover."""
     ys, stats, _ = _fwd_impl(field, tuple(packed), x0, ts, float(rtol),
                              float(atol), float(safety), float(ifactor),
                              float(dfactor), int(max_steps),
-                             int(store_steps), controller, tile, interpret)
+                             int(store_steps), controller, tile, interpret,
+                             method)
     return ys, stats

@@ -77,12 +77,13 @@ def _make_rhs(sf: float, ell: float, N: int, RP: int, ax, ay, zx, zy):
     return rhs
 
 
-def _rk_stages(rhs, px, py, fx, fy, dt):
-    """Dopri5 RK stages (FSAL: 6 evaluations).  Returns the stage
-    derivative lists and (y1, f1); the last stage IS (t1, y1)."""
+def _rk_stages(rhs, px, py, fx, fy, dt, tableau=DOPRI5):
+    """RK stages of a 7-stage FSAL tableau (dopri5/tsit5: 6 evaluations).
+    Returns the stage derivative lists and (y1, f1); the last stage IS
+    (t1, y1)."""
     kx = [fx]
     ky = [fy]
-    for beta_i in DOPRI5.beta:
+    for beta_i in tableau.beta:
         incx = sum(b * k for b, k in zip(beta_i, kx) if b != 0)
         incy = sum(b * k for b, k in zip(beta_i, ky) if b != 0)
         sx = px + dt * incx
@@ -94,7 +95,8 @@ def _rk_stages(rhs, px, py, fx, fy, dt):
 
 
 def _step_decision(kx, ky, px, py, y1x, y1y, dt, rtol, atol, safety,
-                   ifactor, dfactor, N, RP, err_prev=None):
+                   ifactor, dfactor, N, RP, err_prev=None,
+                   tableau=DOPRI5):
     """Embedded error ratio (mean square over the 2N valid components,
     with the 32-ulps tolerance floor) + the step controller.  Returns
     (accept, ratio, dt_next, err_next) — identical in both fused kernels
@@ -107,8 +109,8 @@ def _step_decision(kx, ky, px, py, y1x, y1y, dt, rtol, atol, safety,
     steps use two-error memory, rejected steps the I formula, and
     err_next carries sqrt(ratio) for accepted lanes.
     """
-    c_err = DOPRI5.c_error
-    order = DOPRI5.order
+    c_err = tableau.c_error
+    order = tableau.order
     errx = dt * sum(c * k for c, k in zip(c_err, kx) if c != 0)
     erry = dt * sum(c * k for c, k in zip(c_err, ky) if c != 0)
 
@@ -162,8 +164,9 @@ def _quartic_coeffs(y0, y1, ymid, f0, f1, dt):
     return a, b, c, d, y0
 
 
-def _midpoint(p, kx, dt):
-    return p + dt * sum(c * k for c, k in zip(DOPRI5.c_mid, kx) if c != 0)
+def _midpoint(p, kx, dt, tableau=DOPRI5):
+    return p + dt * sum(c * k for c, k in zip(tableau.c_mid, kx)
+                        if c != 0)
 
 
 def _make_kernel(sf: float, ell: float, rtol: float, atol: float,

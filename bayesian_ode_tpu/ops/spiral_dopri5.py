@@ -153,7 +153,8 @@ def _pack_weights(params):
 def spiral_dopri5_trajectory(params, x0, ts, rtol=1e-7, atol=1e-9,
                              safety=0.9, ifactor=10.0, dfactor=0.2,
                              max_steps=100_000, store_steps=128,
-                             controller="i", tile=256, interpret=False):
+                             controller="i", tile=256, interpret=False,
+                             method="dopri5"):
     """Adaptive dopri5 trajectories of the per-chain spiral field,
     differentiable w.r.t. params and x0 (discrete adjoint).
 
@@ -163,7 +164,8 @@ def spiral_dopri5_trajectory(params, x0, ts, rtol=1e-7, atol=1e-9,
         spiral_field(), _pack_weights(params), x0, ts, rtol=rtol,
         atol=atol, safety=safety, ifactor=ifactor, dfactor=dfactor,
         max_steps=max_steps, store_steps=store_steps,
-        controller=controller, tile=tile, interpret=interpret)
+        controller=controller, tile=tile, interpret=interpret,
+        method=method)
 
 
 def spiral_dopri5_solve_stats(params, x0, ts, **opts):

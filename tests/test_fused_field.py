@@ -202,3 +202,134 @@ def test_fused_field_shared_constant_blocks():
     ga_ref = jax.grad(loss_ref)(a.astype(jnp.float64))
     np.testing.assert_allclose(np.asarray(ga), np.asarray(ga_ref),
                                rtol=5e-3, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_gp_field_public_engine_matches_generic_and_adapter():
+    """The GP field registered with the public engine: dopri5 forward
+    parity against the generic integrator, gradient parity against the
+    hand-written recording/replay adapter (both integrate the same step
+    arithmetic; Hairer-init op order differs, so the two fused engines
+    agree at O(rtol), not bitwise)."""
+    from bayesian_ode_tpu.models import kernel_regression as kr
+    from bayesian_ode_tpu.models import make_dataset
+    from bayesian_ode_tpu.ops.gp_dopri5_grad import gp_dopri5_trajectory
+    from bayesian_ode_tpu.ops.gp_field import gp_field_trajectory
+
+    f32 = jnp.float32
+    rtol, atol = 1e-5, 1e-7
+    data = make_dataset(jax.random.PRNGKey(2), "vdp", N=3, T=10, t_max=3.0,
+                        noise=0.05, x0_scale=1.0)
+    Z = kr.make_inducing_grid(data["Y"], M=4)
+    static = kr.make_static(Z, sf=1.0, ell=0.75)
+    static32 = static._replace(
+        Z=static.Z.astype(f32), KzzinvL=static.KzzinvL.astype(f32),
+        Kzzinv=static.Kzzinv.astype(f32))
+    C = 4
+    params0 = kr.init_params(data["Y"], data["t"], static, noise=0.05)
+    A = (jnp.einsum("mk,kd->md", static.KzzinvL, params0["U"])[None]
+         + 0.02 * jax.random.normal(jax.random.PRNGKey(3), (C, 16, 2))
+         ).astype(f32)
+    x0 = data["x0"].astype(f32)
+    ts = data["t"].astype(f32)
+
+    def gen_traj(a):
+        def one(ac):
+            f = lambda tt, X: kr.vector_field_fast(
+                ac, static32, tt, X, jax.lax.Precision.HIGHEST)
+            return odeint(f, x0, ts, method="dopri5", rtol=rtol,
+                          atol=atol, options={"mode": "bounded"})
+        return jnp.moveaxis(jax.vmap(one)(a), 0, 1)
+
+    got = gp_field_trajectory(A, x0, ts, static, rtol=rtol, atol=atol,
+                              interpret=True)
+    ref = gen_traj(A)
+    rel = float(jnp.max(jnp.abs(got - ref)) / jnp.max(jnp.abs(ref)))
+    assert rel < 1e-4, rel
+
+    # hand-adapter agreement at O(rtol) (different Hairer-init op order
+    # can flip individual step decisions)
+    hand = gp_dopri5_trajectory(A, x0, ts, static, rtol=rtol, atol=atol,
+                                interpret=True)
+    rel2 = float(jnp.max(jnp.abs(got - hand)) / jnp.max(jnp.abs(hand)))
+    assert rel2 < 1e-4, rel2
+
+    W = jax.random.normal(jax.random.PRNGKey(5), ref.shape, f32)
+    g_hand = jax.grad(lambda a: jnp.sum(gp_dopri5_trajectory(
+        a, x0, ts, static, rtol=rtol, atol=atol, interpret=True) * W))(A)
+    g_got = jax.grad(lambda a: jnp.sum(gp_field_trajectory(
+        a, x0, ts, static, rtol=rtol, atol=atol, interpret=True) * W))(A)
+    scale = float(jnp.max(jnp.abs(g_hand)))
+    err = float(jnp.max(jnp.abs(g_got - g_hand))) / scale
+    assert err < 50 * rtol, err
+
+
+@pytest.mark.slow
+def test_gp_field_tsit5_matches_generic():
+    """VERDICT r4 #8: the fused engine is solver-agnostic — gp@tsit5
+    through the public engine matches the generic tsit5 integrator
+    (quartic dense output from the derived TSIT5 c_mid) in values and
+    f64 gradient truth."""
+    from bayesian_ode_tpu.models import kernel_regression as kr
+    from bayesian_ode_tpu.models import make_dataset
+    from bayesian_ode_tpu.ops.gp_field import gp_field_trajectory
+
+    f32, f64 = jnp.float32, jnp.float64
+    rtol, atol = 1e-5, 1e-7
+    data = make_dataset(jax.random.PRNGKey(2), "vdp", N=2, T=8, t_max=2.5,
+                        noise=0.05, x0_scale=1.0)
+    Z = kr.make_inducing_grid(data["Y"], M=4)
+    static = kr.make_static(Z, sf=1.0, ell=0.75)
+    static32 = static._replace(
+        Z=static.Z.astype(f32), KzzinvL=static.KzzinvL.astype(f32),
+        Kzzinv=static.Kzzinv.astype(f32))
+    C = 4
+    params0 = kr.init_params(data["Y"], data["t"], static, noise=0.05)
+    A = (jnp.einsum("mk,kd->md", static.KzzinvL, params0["U"])[None]
+         + 0.02 * jax.random.normal(jax.random.PRNGKey(3), (C, 16, 2))
+         ).astype(f32)
+    x0 = data["x0"].astype(f32)
+    ts = data["t"].astype(f32)
+
+    def gen_traj(a, x0_, ts_, st):
+        def one(ac):
+            f = lambda tt, X: kr.vector_field_fast(
+                ac, st, tt, X, jax.lax.Precision.HIGHEST)
+            # interp "quartic" matches the fused engine\'s dense output
+            # exactly (the generic tsit5 default is the Tsitouras
+            # "stages" interpolant)
+            return odeint(f, x0_, ts_, method="tsit5", rtol=rtol,
+                          atol=atol, options={"mode": "bounded",
+                                              "interp": "quartic"})
+        return jnp.moveaxis(jax.vmap(one)(a), 0, 1)
+
+    got = gp_field_trajectory(A, x0, ts, static, rtol=rtol, atol=atol,
+                              method="tsit5", interpret=True)
+    ref = gen_traj(A, x0, ts, static32)
+    rel = float(jnp.max(jnp.abs(got - ref)) / jnp.max(jnp.abs(ref)))
+    assert rel < 1e-4, rel
+
+    W = jax.random.normal(jax.random.PRNGKey(5), ref.shape, f64)
+    g_truth = jax.grad(lambda a: jnp.sum(
+        gen_traj(a, x0.astype(f64), ts.astype(f64), static) * W))(
+            A.astype(f64))
+    g_fused = jax.grad(lambda a: jnp.sum(gp_field_trajectory(
+        a, x0, ts, static, rtol=rtol, atol=atol, method="tsit5",
+        interpret=True) * W.astype(f32)))(A)
+    scale = float(jnp.max(jnp.abs(g_truth)))
+    err = float(jnp.max(jnp.abs(g_fused.astype(f64) - g_truth))) / scale
+    assert err < 50 * rtol, err
+
+
+def test_fused_method_validation():
+    from bayesian_ode_tpu.ode.tableaus import BOSH3
+    from bayesian_ode_tpu.ops.fused_adaptive import _check_tableau
+    from bayesian_ode_tpu.ops.spiral_dopri5 import spiral_field
+
+    with pytest.raises(ValueError, match="unknown fused method"):
+        from bayesian_ode_tpu.ops.fused_field import fused_dopri5_trajectory
+        fused_dopri5_trajectory(spiral_field(), (jnp.zeros((1, 1)),),
+                                jnp.zeros((1, 2)), jnp.linspace(0, 1, 3),
+                                method="bosh3")
+    with pytest.raises(ValueError, match="7-stage FSAL"):
+        _check_tableau(BOSH3)

@@ -331,3 +331,34 @@ def test_mixed_concrete_traced_time_list():
         lambda t1: odeint(f, y0, [0.0, t1], method="dopri5")[-1]
     )(jnp.asarray(-1.0)))
     assert abs(got_rev - 2.0 * math.exp(1.0)) < 1e-6 * got_rev
+
+
+def test_tsit5_cmid_order_conditions():
+    """TSIT5's derived c_mid satisfies the eight order<=4 dense-output
+    conditions (same construction and gate as dopri8's,
+    tests/test_dopri8.py::test_dopri8_cmid_order_conditions) — the
+    midpoint is O(h^5), which is what the quartic interp_fit and the
+    fused engine's tableau-agnostic dense output need."""
+    import numpy as np
+
+    from bayesian_ode_tpu.ode.tableaus import TSIT5
+
+    A = np.zeros((7, 7))
+    for i, row in enumerate(TSIT5.beta):
+        A[i + 1, : len(row)] = row
+    C = np.array([0.0] + list(TSIT5.alpha))
+    c = np.array(TSIT5.c_mid)
+    th = 0.5
+    AC = A @ C
+    conds = [
+        (np.ones(7), th),
+        (C, th**2 / 2),
+        (C * C, th**3 / 3),
+        (AC, th**3 / 6),
+        (C**3, th**4 / 4),
+        (C * AC, th**4 / 8),
+        (A @ (C * C), th**4 / 12),
+        (A @ AC, th**4 / 24),
+    ]
+    for phi, rhs in conds:
+        assert abs(float(c @ phi) - rhs) < 1e-12
