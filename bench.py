@@ -772,7 +772,8 @@ def spiral_fused_throughput(n_chains, rtol, atol, n_steps=200,
     return fused_sps, gen_sps, C, max_it
 
 
-def svgd_throughput(data, static, params0, kr, particle_counts, n_steps):
+def svgd_throughput(data, static, params0, kr, particle_counts, n_steps,
+                    fits=None):
     """BASELINE.json configs[4]: SVGD particle ensembles on the GP
     mean-function ODE posterior.  Scores run through the fused rk4 batch
     potential (one fused fwd+bwd per step for the whole ensemble); the
@@ -784,6 +785,12 @@ def svgd_throughput(data, static, params0, kr, particle_counts, n_steps):
 
     results = []
     for n in particle_counts:
+        # each count compiles its own fused kernels + KSD programs
+        # (~80-120s cold); stop the sweep when the budget runs out
+        # rather than overdrawing it (r5 measured the 4-count sweep at
+        # ~460s cold vs ~130s warm)
+        if fits is not None and not fits(90, f"svgd[{n}]"):
+            break
         pos0, pot, C = _fused_gp_setup(data, static, params0, n)
         # AdaGrad step control (Liu & Wang's own recipe): raw GP-posterior
         # scores reach ~2.6e3 and a global lr either diverges (1e-3+) or
@@ -1492,33 +1499,6 @@ def main():
         except Exception as e:
             print(f"# spiral_fused phase skipped: {e}", file=sys.stderr)
 
-    if not args.quick and "svgd" in phases and fits(130, "svgd"):
-        try:
-            svgd_results = _retry(
-                svgd_throughput, data, static, params0, kr,
-                [64, 256, 1024, 4096], 50,
-            )
-            for r in svgd_results:
-                print(f"# svgd: {r['particles']} particles, "
-                      f"{r['particle_steps_per_sec']:.0f} psteps/s, "
-                      f"phi_rms {r['phi_rms']:.3g}", file=sys.stderr)
-            summary["svgd"] = [
-                {"particles": r["particles"],
-                 "particle_steps_per_sec":
-                     round(r["particle_steps_per_sec"], 1),
-                 "phi_rms": round(r["phi_rms"], 6),
-                 # IMQ KSD to the target posterior on a <=512-particle
-                 # strided subsample: comparable across rounds at fixed
-                 # particle count (cross-count comparisons need equal-
-                 # convergence budgets — CLAUDE.md r4 record)
-                 "ksd_init": round(r["ksd_init"], 4),
-                 "ksd_final": round(r["ksd_final"], 4)}
-                for r in svgd_results
-            ]
-            done("svgd")
-        except Exception as e:
-            print(f"# svgd phase skipped: {e}", file=sys.stderr)
-
     # BASELINE configs[3]: HAMCMC on the vmapped generic engine.  Fewer
     # chains than the fused phases: each step is a full generic rk4
     # solve fwd+bwd plus the L-BFGS factor recursion, and the dense-metric
@@ -1553,6 +1533,33 @@ def main():
             done("spiral")
         except Exception as e:
             print(f"# spiral phase skipped: {e}", file=sys.stderr)
+
+    if not args.quick and "svgd" in phases and fits(90, "svgd"):
+        try:
+            svgd_results = _retry(
+                svgd_throughput, data, static, params0, kr,
+                [64, 256, 1024, 4096], 50, fits=fits,
+            )
+            for r in svgd_results:
+                print(f"# svgd: {r['particles']} particles, "
+                      f"{r['particle_steps_per_sec']:.0f} psteps/s, "
+                      f"phi_rms {r['phi_rms']:.3g}", file=sys.stderr)
+            summary["svgd"] = [
+                {"particles": r["particles"],
+                 "particle_steps_per_sec":
+                     round(r["particle_steps_per_sec"], 1),
+                 "phi_rms": round(r["phi_rms"], 6),
+                 # IMQ KSD to the target posterior on a <=512-particle
+                 # strided subsample: comparable across rounds at fixed
+                 # particle count (cross-count comparisons need equal-
+                 # convergence budgets — CLAUDE.md r4 record)
+                 "ksd_init": round(r["ksd_init"], 4),
+                 "ksd_final": round(r["ksd_final"], 4)}
+                for r in svgd_results
+            ]
+            done("svgd")
+        except Exception as e:
+            print(f"# svgd phase skipped: {e}", file=sys.stderr)
 
     # ---- collect the concurrent CPU baseline ----
     vs_baseline = None
