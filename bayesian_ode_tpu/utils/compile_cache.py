@@ -16,13 +16,41 @@ location via BODE_COMPILE_CACHE_DIR.
 """
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
 
 _DEFAULT_DIR = os.path.join(
     os.path.expanduser("~"), ".cache", "bayesian_ode_tpu", "xla_cache"
 )
 
 _enabled_path: str | None = None
+
+
+def _host_fingerprint() -> str:
+    """Short hash of the host CPU's feature set.
+
+    JAX's cache key covers (HLO, flags, jaxlib, backend) but NOT the
+    host microarchitecture — and XLA:CPU AOT executables are compiled
+    for the build host's exact feature flags.  This container migrates
+    across heterogeneous hosts (observed 2026-08-21: 'Compile machine
+    features ... doesn't match the machine type for execution ... could
+    lead to execution errors such as SIGILL', then a real segfault in
+    compilation_cache.get_executable_and_time mid-CI).  Partitioning the
+    cache directory by a CPU-flags fingerprint makes a migrated process
+    start a fresh subcache instead of loading incompatible binaries.
+    """
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+            else:
+                feats = platform.machine()
+    except OSError:
+        feats = platform.machine()
+    return hashlib.sha1(feats.encode()).hexdigest()[:12]
 
 
 def enable_persistent_cache(path: str | None = None,
@@ -40,6 +68,8 @@ def enable_persistent_cache(path: str | None = None,
     if os.environ.get("BODE_NO_COMPILE_CACHE") == "1":
         return None
     path = path or os.environ.get("BODE_COMPILE_CACHE_DIR") or _DEFAULT_DIR
+    # per-host-microarchitecture subdirectory (see _host_fingerprint)
+    path = os.path.join(path, _host_fingerprint())
     if _enabled_path == path:
         return path
 

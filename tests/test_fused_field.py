@@ -333,3 +333,36 @@ def test_fused_method_validation():
                                 method="bosh3")
     with pytest.raises(ValueError, match="7-stage FSAL"):
         _check_tableau(BOSH3)
+
+
+@pytest.mark.slow
+def test_fused_field_many_points_multi_sublane():
+    """N=9 trajectory points -> RP=16 (two sublane tiles): every prior
+    fused-kernel consumer ran at N<=5 (RP=8), so the RP>8 padding /
+    concatenation paths in the recording forward, dense-output emission,
+    and replay backward were never exercised.  Forward parity + gradient
+    sanity at N=9."""
+    f32 = jnp.float32
+    N, T, C = 9, 6, 4
+    rtol, atol = 1e-5, 1e-7
+    params = _chain_params(C, H=6, key=9)
+    x0 = jnp.stack([jnp.linspace(-1.5, 2.0, N),
+                    jnp.linspace(0.8, -0.9, N)], axis=-1).astype(f32)
+    ts = jnp.linspace(0.0, 1.2, T).astype(f32)
+
+    traj = spiral_dopri5_trajectory(params, x0, ts, rtol=rtol, atol=atol,
+                                    interpret=True)
+    assert traj.shape == (T, C, N, 2)
+    ref = _gen_traj(params, x0, ts, rtol, atol)
+    rel = float(jnp.max(jnp.abs(traj - ref)) / jnp.max(jnp.abs(ref)))
+    assert rel < 1e-4, rel
+
+    W = jax.random.normal(jax.random.PRNGKey(5), traj.shape, f32)
+    g_gen = jax.grad(lambda p: jnp.sum(
+        _gen_traj(p, x0, ts, rtol, atol) * W))(params)
+    g_fused = jax.grad(lambda p: jnp.sum(
+        spiral_dopri5_trajectory(p, x0, ts, rtol=rtol, atol=atol,
+                                 interpret=True) * W))(params)
+    for a, b in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_gen)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4)
