@@ -64,9 +64,26 @@ def build_model(config: Dict, data: Dict):
     matmuls (load-bearing: bf16 passes inflate adaptive NFE ~45x).
     """
     model = config.get("model", "gp")
-    if model not in ("gp", "nn"):
-        raise ValueError(f"unknown model {model!r}; expected 'gp' or 'nn'")
+    if model not in ("gp", "nn", "spiral"):
+        raise ValueError(f"unknown model {model!r}; expected 'gp', 'nn' "
+                         "or 'spiral'")
     solve, adaptive = _make_solve(config)
+    if model == "spiral":
+        # third NN architecture (reference ode_demo's y^3 tanh net,
+        # models/spiral.py) on the same dataset contract — the
+        # public-fused-engine acceptance field, driver-visible
+        from ..models import spiral as spiral_model
+
+        H = config.get("hidden", 50)
+        params0 = spiral_model.init_params(
+            jax.random.PRNGKey(config.get("seed", 0)), hidden=H)
+        reg = config.get("reg", 0.5)
+        potential = spiral_model.make_potential(
+            data["x0"], data["t"], data["Y"], solve, reg=reg)
+        sq_err = spiral_model.make_potential(
+            data["x0"], data["t"], data["Y"], solve, reg=reg,
+            add_prior=False)
+        return None, params0, potential, sq_err
     if model == "nn":
         from ..models import mlp
 
@@ -283,6 +300,25 @@ def run_sampler(config: Dict, data: Dict, output: str,
                 f"(got {solver!r}); use the generic engine for others")
         if not fused:
             pot_batch = jax.vmap(potential)
+        elif config.get("model", "gp") == "spiral":
+            # public fused engine (ops/fused_field): the spiral y^3-net
+            # field registration, adaptive dopri5 only (no spiral rk4
+            # kernel — use the generic engine for fixed-grid runs)
+            if solver != "dopri5":
+                raise ValueError(
+                    "engine='fused' model='spiral' supports solver="
+                    f"'dopri5' only (got {solver!r})")
+            from ..ops.spiral_dopri5 import (
+                make_fused_spiral_potential_dopri5,
+            )
+
+            pot_batch = make_fused_spiral_potential_dopri5(
+                data["x0"].astype(f32), data["t"].astype(f32),
+                data["Y"].astype(f32), reg=config.get("reg", 0.5),
+                rtol=config.get("rtol", 1e-7),
+                atol=config.get("atol", 1e-9),
+                store_steps=config.get("store_steps", 128),
+            )
         elif config.get("model", "gp") == "nn":
             if solver == "dopri5":
                 from ..ops.mlp_dopri5 import make_fused_mlp_potential_dopri5
@@ -504,10 +540,10 @@ def run_sampler(config: Dict, data: Dict, output: str,
         # posteriors (see run_evidence).  Particles double as chains; the
         # final population is recorded as one kept sample per particle,
         # and log Z lands in the summary for free.
-        if config.get("model", "gp") == "nn":
+        if config.get("model", "gp") != "gp":
             raise ValueError("method='SMC' supports the GP model "
-                             "(the MLP field has no normalized "
-                             "log-density split)")
+                             "(the NN-architecture fields have no "
+                             "normalized log-density split)")
         noise0 = float(config.get("noise", data["noise"]))
         solve, _ = _make_solve(config)
         parts = kr.make_log_density_parts(

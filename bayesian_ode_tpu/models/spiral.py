@@ -53,6 +53,31 @@ def get_batch(key, true_y, t, batch_time: int = 10, batch_size: int = 20):
     return batch_y0, batch_t, batch_y
 
 
+def make_potential(x0, ts, X, solve: Callable, reg: float = 0.5,
+                   add_prior: bool = True):
+    """SSE + L2 posterior potential of the spiral y^3-net field over N
+    shared initial points (the mlp.make_potential convention, so the
+    spiral architecture drops into the same driver/sampler contract;
+    reference ode_demo.py trains this field by MSE — the Bayesian
+    potential is its SSE/L2 counterpart).
+
+    x0 (N, 2); ts (T,); X (N, T, 2) observations; params =
+    `init_params`' dict.  Returns a per-chain scalar potential for
+    `vmap`/the generic engine (the fused route is
+    ops.spiral_dopri5.make_fused_spiral_potential_dopri5)."""
+
+    def potential(params):
+        f = lambda tt, y: vector_field(params, tt, y)  # noqa: E731
+        traj = solve(f, x0, ts)                        # (T, N, 2)
+        loss = jnp.sum((X - jnp.transpose(traj, (1, 0, 2))) ** 2)
+        if add_prior:
+            loss = loss + reg * sum(
+                jnp.sum(v ** 2) for v in jax.tree.leaves(params))
+        return loss
+
+    return potential
+
+
 def make_loss(odeint_fn: Callable, batch_y0, batch_t, batch_y):
     """mean |pred - batch| (ode_demo.py:165)."""
 

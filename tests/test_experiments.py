@@ -611,3 +611,29 @@ def test_run_cli_resume_flag(tmp_path, tiny_data):
     chain_2 = np.load(os.path.join(out_dir, "Ensemble", "1", "chain.npz"))
     for k in chain_1.files:
         np.testing.assert_array_equal(chain_1[k], chain_2[k], err_msg=k)
+
+
+def test_run_sampler_spiral_model(tmp_path, tiny_data):
+    """model='spiral' (the public-fused-engine acceptance field) through
+    the driver on both engines: generic rk4 and fused dopri5 (the
+    ops/spiral_dopri5 registration)."""
+    cfg = tiny_config("pSGLD", model="spiral", hidden=6, lr=1e-6)
+    out = run_sampler(cfg, tiny_data, str(tmp_path / "gen"),
+                      make_plots=False)
+    assert np.isfinite(out["min_potential"])
+
+    cfg_f = tiny_config("pSGLD", model="spiral", hidden=6, lr=1e-6,
+                        engine="fused", solver="dopri5", rtol=1e-4,
+                        atol=1e-6, num_chains=4)
+    out_f = run_sampler(cfg_f, tiny_data, str(tmp_path / "fused"),
+                        make_plots=False)
+    assert np.isfinite(out_f["min_potential"])
+    # both engines sample the same posterior: potential scales agree
+    # (loose: different solvers/step counts, tiny run)
+    assert abs(out_f["min_potential"] - out["min_potential"]) \
+        < 0.5 * (abs(out["min_potential"]) + 1.0)
+
+    with pytest.raises(ValueError, match="spiral"):
+        run_sampler(tiny_config("pSGLD", model="spiral", engine="fused",
+                                solver="rk4"),
+                    tiny_data, str(tmp_path / "bad"), make_plots=False)
