@@ -357,12 +357,30 @@ def test_fused_field_many_points_multi_sublane():
     rel = float(jnp.max(jnp.abs(traj - ref)) / jnp.max(jnp.abs(ref)))
     assert rel < 1e-4, rel
 
-    W = jax.random.normal(jax.random.PRNGKey(5), traj.shape, f32)
-    g_gen = jax.grad(lambda p: jnp.sum(
-        _gen_traj(p, x0, ts, rtol, atol) * W))(params)
+    # gradient vs f64 truth, scale-normalized like every other fused
+    # gate (elementwise relative comparisons overweigh near-zero
+    # components whose O(rtol) frozen-step-mesh term is relatively huge)
+    f64 = jnp.float64
+    W = jax.random.normal(jax.random.PRNGKey(5), traj.shape, f64)
+    p64 = jax.tree.map(lambda x: x.astype(f64), params)
+    g_truth = jax.grad(lambda p: jnp.sum(
+        _gen_traj(p, x0.astype(f64), ts.astype(f64), rtol, atol) * W))(p64)
     g_fused = jax.grad(lambda p: jnp.sum(
         spiral_dopri5_trajectory(p, x0, ts, rtol=rtol, atol=atol,
-                                 interpret=True) * W))(params)
-    for a, b in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_gen)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=5e-3, atol=5e-4)
+                                 interpret=True) * W.astype(f32)))(params)
+    g_gen32 = jax.grad(lambda p: jnp.sum(
+        _gen_traj(p, x0, ts, rtol, atol) * W.astype(f32)))(params)
+    t_flat = jnp.concatenate([x.ravel() for x in jax.tree.leaves(g_truth)])
+    f_flat = jnp.concatenate(
+        [x.ravel() for x in jax.tree.leaves(g_fused)]).astype(f64)
+    g_flat = jnp.concatenate(
+        [x.ravel() for x in jax.tree.leaves(g_gen32)]).astype(f64)
+    scale = float(jnp.max(jnp.abs(t_flat)))
+    err_fused = float(jnp.max(jnp.abs(f_flat - t_flat))) / scale
+    err_gen32 = float(jnp.max(jnp.abs(g_flat - t_flat))) / scale
+    # this 9-point configuration reaches the f32 floor ABOVE the 50*rtol
+    # adjoint bound (measured 2026-08-21: generic-f32 9.2e-4, fused
+    # 9.6e-4 at rtol=1e-5; both drop ~3x at rtol=1e-6) — so gate the
+    # fused error against the generic-f32 noise floor, not rtol alone
+    assert err_fused < 2 * max(err_gen32, 50 * rtol), \
+        (err_fused, err_gen32)
