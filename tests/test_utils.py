@@ -48,17 +48,22 @@ def test_enable_persistent_cache(tmp_path, monkeypatch):
     prev = jax.config.jax_compilation_cache_dir
     monkeypatch.setattr(cc, "_enabled_path", None)
     cache_dir = str(tmp_path / "xla_cache")
+    # the cache lives in a per-host-microarchitecture subdirectory (r5:
+    # XLA:CPU AOT entries compiled on another host can SIGILL at load
+    # after a container migration)
+    fp_dir = os.path.join(cache_dir, cc._host_fingerprint())
     try:
-        assert cc.enable_persistent_cache(cache_dir) == cache_dir
-        assert os.path.isdir(cache_dir)
-        assert jax.config.jax_compilation_cache_dir == cache_dir
+        assert cc.enable_persistent_cache(cache_dir) == fp_dir
+        assert os.path.isdir(fp_dir)
+        assert jax.config.jax_compilation_cache_dir == fp_dir
         # Idempotent; and the kill switch wins over any path.
-        assert cc.enable_persistent_cache(cache_dir) == cache_dir
+        assert cc.enable_persistent_cache(cache_dir) == fp_dir
         # A repeat call with a DIFFERENT path must re-point the config so
         # the returned path is where the cache actually lives (ADVICE r1).
         cache_dir2 = str(tmp_path / "xla_cache2")
-        assert cc.enable_persistent_cache(cache_dir2) == cache_dir2
-        assert jax.config.jax_compilation_cache_dir == cache_dir2
+        fp_dir2 = os.path.join(cache_dir2, cc._host_fingerprint())
+        assert cc.enable_persistent_cache(cache_dir2) == fp_dir2
+        assert jax.config.jax_compilation_cache_dir == fp_dir2
         monkeypatch.setattr(cc, "_enabled_path", None)
         monkeypatch.setenv("BODE_NO_COMPILE_CACHE", "1")
         assert cc.enable_persistent_cache(cache_dir) is None
