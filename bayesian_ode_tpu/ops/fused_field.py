@@ -13,6 +13,11 @@ of a new kernel file:
 
 `packed` is a tuple of `(rows, C)` float32 arrays — the field's weights
 with chains on the LANE axis (plus any shared constant blocks last).
+States are 2-component phase points: x0 is (N, 2) and the kernels carry
+(x, y) plane pairs — the reference model family's layout (VdP/FHN/LV
+phase spaces, the spiral, the 2-D GP/MLP fields).  A D-component
+generalization would replace the sx/sy pair with a D-tuple of planes in
+ops/fused_adaptive.py; nothing else in the engine is dimension-aware.
 The engine owns everything the two hand-written adapters duplicated:
 chain padding to the tile grid, state-plane packing, the Hairer initial
 step, the recording forward / replay backward `pallas_call` plumbing,

@@ -64,7 +64,7 @@ if __name__ == "__main__" and os.environ.get("BENCH_INNER") != "1" \
             rc = child.wait()
         if rc == 0 or _signaled:
             break
-        if time.time() - _t0 > 1050:  # no budget left for a useful retry
+        if time.time() - _t0 > 1150:  # no budget left for a useful retry
             print(f"# bench attempt {_attempt + 1} failed (rc={rc}); "
                   "budget exhausted, not retrying", file=sys.stderr)
             break
@@ -1070,7 +1070,7 @@ def main():
     # (c) this wall-clock budget skips optional phases that no longer
     # fit, so the normal path finishes in time.  Phases run in priority
     # order (headline and north-star first, slowest exact samplers last).
-    ap.add_argument("--budget", type=float, default=1350.0,
+    ap.add_argument("--budget", type=float, default=1420.0,
                     help="wall-clock seconds from process start (BENCH_T0 "
                          "across supervisor retries) after which remaining "
                          "optional phases are skipped")
