@@ -220,9 +220,19 @@ def _sample_chain_checkpointed(kernel, state, key, total, burn_in, thin,
     segs = [(s, min(ckpt_every, total - s))
             for s in range(0, total, ckpt_every)]
 
+    # hoisted jits: one per distinct (num_samples, burn_in) signature —
+    # a fresh jax.jit per segment would retrace/re-lower the identical
+    # program every ckpt_every samples (seconds each on the fused
+    # potentials; the compile cache skips only the XLA compile)
+    _seg_cache = {}
+
     def seg_fn(n, burn):
-        return jax.jit(lambda s, k: samplers.sample_chain(
-            kernel, s, k, num_samples=n, burn_in=burn, thin=thin))
+        key_ = (n, burn)
+        if key_ not in _seg_cache:
+            _seg_cache[key_] = jax.jit(
+                lambda s, k, n=n, burn=burn: samplers.sample_chain(
+                    kernel, s, k, num_samples=n, burn_in=burn, thin=thin))
+        return _seg_cache[key_]
 
     # structure template for load_pytree's treedef check (shapes differ;
     # only the tree structure is compared)
@@ -632,14 +642,24 @@ def run_sampler(config: Dict, data: Dict, output: str,
 
 
 def _plots_sampler_nn(out_dir, config, data, positions, pots):
-    """nn-model plots: loss curve + posterior-mode phase quiver of the MLP
-    field (the nn.ipynb counterparts of gp.py:383-438)."""
+    """NN-architecture plots (model 'nn' or 'spiral'): loss curve +
+    posterior-mode phase quiver of the learned field (the nn.ipynb
+    counterparts of gp.py:383-438)."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    from ..models import mlp
+    if config.get("model", "gp") == "spiral":
+        from ..models import spiral as _spiral
+
+        field_fn = lambda p, t, y: _spiral.vector_field(p, t, y)  # noqa: E731
+        label = "spiral y^3-net"
+    else:
+        from ..models import mlp
+
+        field_fn = mlp.mlp_vector_field
+        label = "MLP"
 
     fig, ax = plt.subplots()
     ax.plot(np.median(pots, axis=0))
@@ -655,13 +675,13 @@ def _plots_sampler_nn(out_dir, config, data, positions, pots):
     gx, gy = np.meshgrid(np.linspace(lo[0], hi[0], 15),
                          np.linspace(lo[1], hi[1], 15))
     grid_pts = jnp.asarray(np.stack([gx.ravel(), gy.ravel()], 1))
-    field = np.asarray(mlp.mlp_vector_field(mode, 0.0, grid_pts))
+    field = np.asarray(field_fn(mode, 0.0, grid_pts))
     fig, ax = plt.subplots(figsize=(6, 5))
     ax.quiver(gx, gy, field[:, 0].reshape(gx.shape),
               field[:, 1].reshape(gx.shape), alpha=0.6)
     for traj in np.asarray(data["Y"]):
         ax.plot(traj[:, 0], traj[:, 1], ".", ms=2)
-    ax.set_title(f"posterior mode MLP field ({config['method']})")
+    ax.set_title(f"posterior mode {label} field ({config['method']})")
     fig.savefig(os.path.join(out_dir, "phase_mode.pdf"))
     plt.close(fig)
 

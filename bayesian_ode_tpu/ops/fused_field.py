@@ -356,6 +356,12 @@ def fused_dopri5_stats(field: FusedField, packed, x0, ts, rtol=1e-7,
     """Forward solve returning (trajectory, stats) with per-chain
     `nfe` / `n_accepted` / `n_rejected` and the per-tile lockstep
     `n_iterations` the `store_steps` gradient budget must cover."""
+    if controller not in ("i", "pi"):
+        raise ValueError(
+            f"unknown step controller {controller!r}; expected 'i' or 'pi'")
+    if method not in _TABLEAUS:
+        raise ValueError(f"unknown fused method {method!r}; expected one "
+                         f"of {sorted(_TABLEAUS)}")
     ys, stats, _ = _fwd_impl(field, tuple(packed), x0, ts, float(rtol),
                              float(atol), float(safety), float(ifactor),
                              float(dfactor), int(max_steps),

@@ -40,6 +40,13 @@ if __name__ == "__main__" and os.environ.get("BENCH_INNER") != "1" \
     # outgrew the budget).
     os.environ.setdefault("BENCH_T0", repr(time.time()))
     _t0 = float(os.environ["BENCH_T0"])
+    # retry cutoff tracks the same --budget the inner process enforces
+    _budget = 1420.0
+    if "--budget" in sys.argv:
+        try:
+            _budget = float(sys.argv[sys.argv.index("--budget") + 1])
+        except (IndexError, ValueError):
+            pass
     rc, _signaled = 1, False
     for _attempt in range(3):
         child = subprocess.Popen(
@@ -64,7 +71,7 @@ if __name__ == "__main__" and os.environ.get("BENCH_INNER") != "1" \
             rc = child.wait()
         if rc == 0 or _signaled:
             break
-        if time.time() - _t0 > 1150:  # no budget left for a useful retry
+        if time.time() - _t0 > _budget - 270:  # no room for a useful retry
             print(f"# bench attempt {_attempt + 1} failed (rc={rc}); "
                   "budget exhausted, not retrying", file=sys.stderr)
             break
@@ -1018,10 +1025,6 @@ _OPTIONAL_PHASES = ("peak", "sgld", "sgld_dopri5", "nn_dopri5", "svgd",
                     "baseline")
 
 
-class _PhaseSkipped(Exception):
-    """Raised to drop an optional phase deselected via --phases."""
-
-
 _DEADLINE = [None]  # set by main(); _retry refuses to sleep past it
 
 
@@ -1199,8 +1202,12 @@ def main():
     def _on_term(signum, frame):
         if summary["value"]:
             print(emit_file(), flush=True)
+            sys.stdout.flush()
+            os._exit(0)
+        # timeout before the headline completed: keep the failure
+        # visible instead of reporting rc=0 with no data
         sys.stdout.flush()
-        os._exit(0)
+        os._exit(124)
 
     signal.signal(signal.SIGTERM, _on_term)
 
@@ -1222,8 +1229,7 @@ def main():
     # chip, so it overlaps the device phases for free and is collected at
     # the end.  The axon sitecustomize is stripped from PYTHONPATH (it
     # would hang claiming the chip this process holds).
-    baseline_proc = None
-    if not args.skip_baseline and "baseline" in phases:
+    def _launch_baseline():
         import subprocess
 
         try:
@@ -1235,7 +1241,7 @@ def main():
             )
             env["JAX_PLATFORMS"] = "cpu"
             env.pop("BENCH_INNER", None)
-            baseline_proc = subprocess.Popen(
+            return subprocess.Popen(
                 [sys.executable, __file__, "--_baseline-worker",
                  "--rtol", str(args.rtol), "--atol", str(args.atol)],
                 stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
@@ -1243,6 +1249,18 @@ def main():
             )
         except Exception as e:
             print(f"# baseline launch failed: {e}", file=sys.stderr)
+            return None
+
+    # Concurrent launch overlaps the CPU baseline with the device phases
+    # for free on a multi-core host; on a 1-2 CPU host the contention
+    # deflates the baseline rate and inflates vs_baseline, so launch it
+    # sequentially after the device phases there (code-review r5).
+    baseline_proc, _baseline_deferred = None, False
+    if not args.skip_baseline and "baseline" in phases:
+        if (os.cpu_count() or 1) > 2:
+            baseline_proc = _launch_baseline()
+        else:
+            _baseline_deferred = True
 
     # ---- headline (always): generic + fused forward ----
     evals_per_sec, fwd_dt, mean_nfe, all_ok = _retry(
@@ -1561,7 +1579,9 @@ def main():
         except Exception as e:
             print(f"# svgd phase skipped: {e}", file=sys.stderr)
 
-    # ---- collect the concurrent CPU baseline ----
+    # ---- collect the CPU baseline (deferred launch on small hosts) ----
+    if _baseline_deferred:
+        baseline_proc = _launch_baseline()
     vs_baseline = None
     if baseline_proc is not None:
         try:

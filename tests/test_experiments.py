@@ -619,8 +619,9 @@ def test_run_sampler_spiral_model(tmp_path, tiny_data):
     ops/spiral_dopri5 registration)."""
     cfg = tiny_config("pSGLD", model="spiral", hidden=6, lr=1e-6)
     out = run_sampler(cfg, tiny_data, str(tmp_path / "gen"),
-                      make_plots=False)
+                      make_plots=True)   # plots: the NN-family quiver
     assert np.isfinite(out["min_potential"])
+    assert (tmp_path / "gen" / "pSGLD" / "1" / "phase_mode.pdf").exists()
 
     cfg_f = tiny_config("pSGLD", model="spiral", hidden=6, lr=1e-6,
                         engine="fused", solver="dopri5", rtol=1e-4,
