@@ -1585,7 +1585,12 @@ def main():
     vs_baseline = None
     if baseline_proc is not None:
         try:
-            rem = max(30.0, deadline - time.time())
+            # deferred (small-host) launches start cold at the deadline:
+            # grant a fixed grace window (jax import + compile + 3 runs
+            # measured ~2 min on the 1-CPU host) — the driver-timeout
+            # headroom above --budget covers it
+            rem = max(240.0 if _baseline_deferred else 30.0,
+                      deadline - time.time())
             out, _ = baseline_proc.communicate(timeout=rem)
             cpu_rate = float(out.strip().splitlines()[-1])
             vs_baseline = evals_per_sec / cpu_rate
