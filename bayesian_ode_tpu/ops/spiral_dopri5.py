@@ -153,7 +153,7 @@ def _pack_weights(params):
 def spiral_dopri5_trajectory(params, x0, ts, rtol=1e-7, atol=1e-9,
                              safety=0.9, ifactor=10.0, dfactor=0.2,
                              max_steps=100_000, store_steps=128,
-                             controller="i", tile=256, interpret=False,
+                             controller="i", tile=128, interpret=False,
                              method="dopri5"):
     """Adaptive dopri5 trajectories of the per-chain spiral field,
     differentiable w.r.t. params and x0 (discrete adjoint).
@@ -178,8 +178,12 @@ def spiral_dopri5_solve_stats(params, x0, ts, **opts):
 def make_fused_spiral_potential_dopri5(x0, ts, X, reg: float = 0.5,
                                        rtol=1e-7, atol=1e-9,
                                        max_steps=100_000, store_steps=128,
-                                       controller="i", tile=256,
+                                       controller="i", tile=128,
                                        interpret=None):
+    # tile=128 default: measured fastest for this field (2026-08-21,
+    # v5e, H=50, 10,240 chains, pSGLD fwd+bwd: 2.89M steps/s at 128 vs
+    # 2.74M at 256, 2.33M at 512 — the H*... backward stack rewards the
+    # smallest legal tile)
     """Batched spiral posterior potential (SSE + L2 prior, the
     mlp_dopri5 convention) with the solve at adaptive dopri5 tolerance
     through the fused engine; `jax.grad` flows through the discrete
