@@ -64,10 +64,25 @@ def build_model(config: Dict, data: Dict):
     matmuls (load-bearing: bf16 passes inflate adaptive NFE ~45x).
     """
     model = config.get("model", "gp")
-    if model not in ("gp", "nn", "spiral"):
-        raise ValueError(f"unknown model {model!r}; expected 'gp', 'nn' "
-                         "or 'spiral'")
+    if model not in ("gp", "nn", "spiral", "fhn"):
+        raise ValueError(f"unknown model {model!r}; expected 'gp', 'nn', "
+                         "'spiral' or 'fhn'")
     solve, adaptive = _make_solve(config)
+    if model == "fhn":
+        # mechanistic parameter inference (models/fhn_inference): the
+        # Ramsay/Girolami FHN posterior over theta = (a, b, c) — the
+        # task the reference's GP/NN surrogates sidestep (gp.py:31-33
+        # uses FHN only as a fixed data generator)
+        from ..models import fhn_inference
+
+        theta0 = fhn_inference.init_theta()
+        noise0 = float(config.get("noise", data["noise"]))
+        potential = fhn_inference.make_potential(
+            data["x0"], data["t"], data["Y"], solve, noise=noise0)
+        sq_err = fhn_inference.make_potential(
+            data["x0"], data["t"], data["Y"], solve, noise=noise0,
+            add_prior=False)
+        return None, theta0, potential, sq_err
     if model == "spiral":
         # third NN architecture (reference ode_demo's y^3 tanh net,
         # models/spiral.py) on the same dataset contract — the
@@ -310,6 +325,23 @@ def run_sampler(config: Dict, data: Dict, output: str,
                 f"(got {solver!r}); use the generic engine for others")
         if not fused:
             pot_batch = jax.vmap(potential)
+        elif config.get("model", "gp") == "fhn":
+            # public fused engine (ops/fused_field): the mechanistic FHN
+            # theta-field registration, adaptive dopri5 only
+            if solver != "dopri5":
+                raise ValueError(
+                    "engine='fused' model='fhn' supports solver="
+                    f"'dopri5' only (got {solver!r})")
+            from ..ops.fhn_dopri5 import make_fused_fhn_potential_dopri5
+
+            pot_batch = make_fused_fhn_potential_dopri5(
+                data["x0"].astype(f32), data["t"].astype(f32),
+                data["Y"].astype(f32),
+                noise=float(config.get("noise", data["noise"])),
+                rtol=config.get("rtol", 1e-7),
+                atol=config.get("atol", 1e-9),
+                store_steps=config.get("store_steps", 128),
+            )
         elif config.get("model", "gp") == "spiral":
             # public fused engine (ops/fused_field): the spiral y^3-net
             # field registration, adaptive dopri5 only (no spiral rk4
@@ -650,7 +682,12 @@ def _plots_sampler_nn(out_dir, config, data, positions, pots):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    if config.get("model", "gp") == "spiral":
+    if config.get("model", "gp") == "fhn":
+        from ..models import fhn_inference as _fhn
+
+        field_fn = lambda p, t, y: _fhn.vector_field(p, t, y)  # noqa: E731
+        label = "FHN theta"
+    elif config.get("model", "gp") == "spiral":
         from ..models import spiral as _spiral
 
         field_fn = lambda p, t, y: _spiral.vector_field(p, t, y)  # noqa: E731

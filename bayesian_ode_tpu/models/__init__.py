@@ -1,6 +1,7 @@
 """ODE vector fields and target densities (reference L4, SURVEY.md §2.4)."""
 from . import (  # noqa: F401
     cnf,
+    fhn_inference,
     kernel_regression,
     latent_ode,
     latent_sde,

@@ -16,11 +16,20 @@
   model")
 - spiral_dopri5: the spiral y^3-MLP field registered with fused_field
   (the worked example for new-field registration)
+- fhn_dopri5: FitzHugh-Nagumo theta = (a, b, c) parameter inference
+  registered with fused_field — the first MECHANISTIC fused field (the
+  Ramsay/Girolami Bayesian-ODE benchmark posterior)
 - gp_field: the GP field as a public-engine registration — the
   solver-agnostic route (method="tsit5") and the engine consistency
   gate; the hand-written gp_dopri5_grad adapter stays the production
   dopri5 path
 """
+from .fhn_dopri5 import (  # noqa: F401
+    fhn_dopri5_solve_stats,
+    fhn_dopri5_trajectory,
+    fhn_vector_field,
+    make_fused_fhn_potential_dopri5,
+)
 from .fused_field import (  # noqa: F401
     FusedField,
     fused_dopri5_stats,
@@ -51,6 +60,10 @@ from .spiral_dopri5 import (  # noqa: F401
 
 __all__ = [
     "FusedField",
+    "fhn_dopri5_solve_stats",
+    "fhn_dopri5_trajectory",
+    "fhn_vector_field",
+    "make_fused_fhn_potential_dopri5",
     "gp_field_solve_stats",
     "gp_field_trajectory",
     "fused_dopri5_stats",

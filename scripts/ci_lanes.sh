@@ -43,6 +43,7 @@ lane_models() {    # ~4 min: model families + infra (mostly slow-marked)
     tests/test_sde.py tests/test_linear_regression.py \
     tests/test_pallas_ops.py tests/test_utils.py tests/test_runtime.py \
     tests/test_runtime_multiprocess.py tests/test_fused_field.py \
+    tests/test_fused_fhn.py \
     tests/test_end_to_end.py tests/test_experiments.py \
     tests/test_bench_phases.py tests/test_sharding.py
 }

@@ -638,3 +638,32 @@ def test_run_sampler_spiral_model(tmp_path, tiny_data):
         run_sampler(tiny_config("pSGLD", model="spiral", engine="fused",
                                 solver="rk4"),
                     tiny_data, str(tmp_path / "bad"), make_plots=False)
+
+
+def test_run_sampler_fhn_model(tmp_path):
+    """model='fhn' (mechanistic theta = (a, b, c) inference,
+    models/fhn_inference + the ops/fhn_dopri5 fused registration)
+    through the driver on both engines, on FHN-generated data."""
+    fhn_data = make_dataset(jax.random.PRNGKey(1), "fhn", N=2, T=12,
+                            t_max=3.0, noise=0.1, x0_scale=1.0)
+    cfg = tiny_config("pSGLD", model="fhn", lr=1e-6)
+    out = run_sampler(cfg, fhn_data, str(tmp_path / "gen"),
+                      make_plots=True)   # plots: the NN-family quiver
+    assert np.isfinite(out["min_potential"])
+    assert (tmp_path / "gen" / "pSGLD" / "1" / "phase_mode.pdf").exists()
+
+    cfg_f = tiny_config("pSGLD", model="fhn", lr=1e-6, engine="fused",
+                        solver="dopri5", rtol=1e-4, atol=1e-6,
+                        num_chains=4)
+    out_f = run_sampler(cfg_f, fhn_data, str(tmp_path / "fused"),
+                        make_plots=False)
+    assert np.isfinite(out_f["min_potential"])
+    # both engines sample the same posterior: potential scales agree
+    # (loose: different solvers/step counts, tiny run)
+    assert abs(out_f["min_potential"] - out["min_potential"]) \
+        < 0.5 * (abs(out["min_potential"]) + 1.0)
+
+    with pytest.raises(ValueError, match="fhn"):
+        run_sampler(tiny_config("pSGLD", model="fhn", engine="fused",
+                                solver="rk4"),
+                    fhn_data, str(tmp_path / "bad"), make_plots=False)
