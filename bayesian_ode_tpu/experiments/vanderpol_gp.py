@@ -56,6 +56,9 @@ def build_model(config: Dict, data: Dict):
     config["model"] == "nn" swaps the GP vector field for the MLP
     mean-function baseline (nn.ipynb cell 4; BASELINE config #3): uniform
     (-0.5, 0.5) init, SSE + L2 potential, no static kernel quantities.
+    "spiral" is the reference ode_demo y^3-net; "fhn" is mechanistic
+    FitzHugh-Nagumo parameter inference over theta = (a, b, c)
+    (models/fhn_inference, Gaussian likelihood + Gaussian theta priors).
 
     config["solver"] picks the integrator (any odeint registry name;
     default "rk4" = the reference's sampler configuration, gp.py:346).
